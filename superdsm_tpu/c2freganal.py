@@ -1,0 +1,356 @@
+"""Stage 3: coarse-to-fine region analysis (atom extraction).
+
+Counterpart of the reference's ``C2F_RegionAnalysis``
+(``/root/reference/superdsm/c2freganal.py:82-287``). The recursive region
+splitting is inherently sequential *within* a cluster, but independent
+*across* clusters; the reference runs one Ray task per cluster. Here every
+cluster is a generator ("worker") that yields normalized-energy solve
+requests, and a lockstep driver advances all workers together, packing the
+pending 6-parameter convex solves of *all* clusters into padded device
+batches each round (see :func:`superdsm_tpu.dsm.batching.solve_problems`).
+This keeps the TPU fed with large batches even though each cluster's split
+queue is branchy host-side logic.
+
+Outputs: ``y_mask``, ``atoms``, ``adjacencies``, ``seeds``, ``clusters``.
+"""
+
+import hashlib
+import math
+import queue
+
+import numpy as np
+import scipy.ndimage as ndi
+
+from .pipeline import Stage
+from ._aux import copy_dict
+from .image import Image
+from .objects import Object
+from .atoms import AtomAdjacencyGraph
+from .ops.watershed import watershed
+from .ops.morphology import disk, binary_erosion
+from .dsm.batching import make_problem, solve_problems
+
+
+def _get_next_seed(region, where, score_func, connectivity=4):
+    """Connected component of local maxima maximizing ``score_func``
+    (cf. ``/root/reference/superdsm/c2freganal.py:15-29``)."""
+    if connectivity == 4:
+        footprint = disk(1)
+    elif connectivity == 8:
+        footprint = np.ones((3, 3))
+    else:
+        raise ValueError(f'unknown connectivity: {connectivity}')
+    mask = np.logical_and(region.mask, where)
+    image = region.model
+    image_max = ndi.maximum_filter(image, footprint=footprint)
+    max_mask = np.logical_and(image_max == image, mask)
+    if max_mask.any():
+        maxima = ndi.label(max_mask)[0]
+        maxima_labels = frozenset(maxima.reshape(-1)) - {0}
+        scores = {max_label: score_func(maxima == max_label) for max_label in maxima_labels}
+        label = max(maxima_labels, key=scores.get)
+        if scores[label] > -np.inf:
+            return (maxima == label)
+    return None
+
+
+def _watershed_split(region, *markers):
+    """Splits a region into one part per marker by intensity watershed
+    (cf. ``/root/reference/superdsm/c2freganal.py:32-38``)."""
+    markers_map = np.zeros(region.model.shape, int)
+    for marker_label, marker in enumerate(markers, start=1):
+        assert markers_map[marker].max() == 0
+        markers_map[marker] = marker_label
+    relief = region.model.max() - region.model.clip(0, np.inf)
+    labels = watershed(relief, markers_map, mask=region.mask)
+    return [labels == marker_label for marker_label in range(1, len(markers) + 1)]
+
+
+def _normalize_labels_map(labels, first_label=0, skip_labels=[]):
+    result = np.zeros_like(labels)
+    label_translation = {}
+    next_label = first_label
+    for old_label in sorted(np.unique(labels.reshape(-1))):
+        if old_label in skip_labels:
+            continue
+        result[labels == old_label] = next_label
+        label_translation[old_label] = next_label
+        next_label += 1
+    return result, label_translation
+
+
+def _hash_mask(mask):
+    return hashlib.sha1(mask.astype(np.uint8)).digest()
+
+
+def _norm_energy(cache, masked_cluster, bg_edt, obj, atoms_map, background_margin):
+    """Sub-generator computing the normalized energy r(ω) of an object.
+
+    Yields at most one solve request (``('solve', cp_mask)``); the driver
+    sends the raw energy ψ back. Returns ψ / #ω, or ``None`` for degenerate
+    regions whose offset intensities are single-signed
+    (cf. ``/root/reference/superdsm/c2freganal.py:58-79``).
+    """
+    cp_mask = obj.get_mask(atoms_map) & masked_cluster.mask & (bg_edt <= background_margin)
+    key = _hash_mask(cp_mask)
+    if key in cache:
+        return cache[key]
+    vals = masked_cluster.model[cp_mask]
+    if vals.size == 0 or (vals > 0).all() or (vals < 0).all():
+        result = None
+    else:
+        energy = yield ('solve', cp_mask)
+        result = None if energy is None else energy / cp_mask.sum()
+    cache[key] = result
+    return result
+
+
+def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radius,
+                    min_norm_energy_improvement, background_margin, seed_connectivity):
+    """Generator running the split-queue loop of one cluster
+    (semantics of ``/root/reference/superdsm/c2freganal.py:193-287``).
+
+    Yields solve requests; the driver sends raw energies back. Returns
+    ``(root_candidate, leaf_candidates, atoms_map, max_normalized_energy)``.
+    """
+    min_atom_size = math.pi * (min_atom_radius ** 2)
+    cache = {}
+    bg_edt = ndi.distance_transform_edt(masked_cluster.model <= 0)
+
+    root_candidate = Object()
+    root_candidate.footprint = frozenset([1])
+    root_candidate.seed = _get_next_seed(masked_cluster, cluster.model > 0,
+                                         lambda loc: cluster.model[loc].max(),
+                                         seed_connectivity)
+    atoms_map = cluster.mask.astype(int)
+
+    leaf_candidates = []
+    split_queue = queue.Queue()
+    root_candidate.normalized_energy = yield from _norm_energy(
+        cache, masked_cluster, bg_edt, root_candidate, atoms_map, background_margin)
+    if root_candidate.normalized_energy is None:
+        root_candidate.normalized_energy = 0.0
+    if root_candidate.seed is None:
+        # no admissible seed: keep the cluster as a single atom
+        leaf_candidates.append(root_candidate)
+    elif root_candidate.normalized_energy > max_atom_norm_energy:
+        split_queue.put(root_candidate)
+    else:
+        leaf_candidates.append(root_candidate)
+
+    if root_candidate.seed is not None:
+        seed_distances = ndi.distance_transform_edt(~root_candidate.seed)
+    while not split_queue.empty():
+        c0 = split_queue.get()
+        c0_mask = c0.get_mask(atoms_map)
+
+        if c0_mask.sum() < 2 * min_atom_size:
+            leaf_candidates.append(c0)  # the region is too small to be split
+            continue
+
+        c1 = Object()
+        c2 = Object()
+        c1.seed = c0.seed
+        c2.seed = _get_next_seed(
+            masked_cluster,
+            np.all((cluster.model > 0, c0_mask, seed_distances >= 1), axis=0),
+            lambda loc: seed_distances[loc].max(), seed_connectivity)
+        if c2.seed is None:
+            leaf_candidates.append(c0)
+            continue
+        assert not np.logical_and(c1.seed, c2.seed).any()
+        seed_distances = np.min([seed_distances, ndi.distance_transform_edt(~c2.seed)], axis=0)
+
+        new_atom_label = atoms_map.max() + 1
+        c1_mask, c2_mask = _watershed_split(cluster.get_region(c0_mask), c1.seed, c2.seed)
+
+        if c1_mask.sum() < min_atom_size:
+            c0.seed = c2.seed    # change the seed for current region...
+            split_queue.put(c0)  # ...and try again with different seed
+            continue
+
+        if c2_mask.sum() < min_atom_size:
+            split_queue.put(c0)  # try again with different seed
+            continue
+
+        atoms_map_previous = atoms_map.copy()
+        atoms_map[c2_mask] = new_atom_label
+        c1.footprint = frozenset(c0.footprint)
+        c2.footprint = frozenset([new_atom_label])
+
+        for c in (c1, c2):
+            try:
+                c.normalized_energy = yield from _norm_energy(
+                    cache, masked_cluster, bg_edt, c, atoms_map, background_margin)
+            except Exception:
+                c.normalized_energy = None
+
+        if c1.normalized_energy is None and c2.normalized_energy is None:
+            split_queue.put(c0)
+            atoms_map = atoms_map_previous
+            continue
+        if c1.normalized_energy is None:
+            c0.seed = c2.seed
+            split_queue.put(c0)
+            atoms_map = atoms_map_previous
+            continue
+        if c2.normalized_energy is None:
+            split_queue.put(c0)
+            atoms_map = atoms_map_previous
+            continue
+
+        norm_energy_improvement = 1 - max((c1.normalized_energy, c2.normalized_energy)) / c0.normalized_energy
+        if norm_energy_improvement < min_norm_energy_improvement:
+            split_queue.put(c0)  # try again with different seed
+            atoms_map = atoms_map_previous
+        else:
+            for c in (c1, c2):
+                if c.normalized_energy > max_atom_norm_energy:
+                    split_queue.put(c)
+                else:
+                    leaf_candidates.append(c)
+
+    root_candidate.footprint = frozenset(atoms_map.reshape(-1)) - {0}
+    max_normalized_energy = max(
+        (c.normalized_energy for c in leaf_candidates if c.normalized_energy is not None),
+        default=0.0)
+    return root_candidate, leaf_candidates, atoms_map, max_normalized_energy
+
+
+def _drive_cluster_workers(workers, clusters_by_label, img_shape, out,
+                           status_line='Analyzing clusters'):
+    """Advances all cluster workers in lockstep, batch-solving the pending
+    normalized-energy requests of every active cluster each round."""
+    results = {}
+    waiting = {}
+    for label, gen in workers.items():
+        try:
+            waiting[label] = next(gen)
+        except StopIteration as stop:
+            results[label] = stop.value
+    round_no = 0
+    while waiting:
+        round_no += 1
+        problems = []
+        for label, (kind, cp_mask) in sorted(waiting.items()):
+            assert kind == 'solve'
+            cluster = clusters_by_label[label]
+            region = Image(model=cluster.model, mask=cp_mask, offset=cluster.offset)
+            problems.append(make_problem(region, img_shape=img_shape,
+                                         smooth_amount=np.inf, tag=label))
+        out.intermediate(f'{status_line}... round {round_no}: '
+                         f'{len(problems)} solves, {len(results)} / '
+                         f'{len(results) + len(waiting)} clusters done')
+        solved = solve_problems(problems, out=None)
+        energy_by_label = {res.tag: res.energy for res in solved}
+        new_waiting = {}
+        for label in list(waiting.keys()):
+            try:
+                new_waiting[label] = workers[label].send(energy_by_label[label])
+            except StopIteration as stop:
+                results[label] = stop.value
+        waiting = new_waiting
+    return results
+
+
+class C2F_RegionAnalysis(Stage):
+    """Coarse-to-fine atom extraction stage.
+
+    Hyperparameters (namespace ``c2f-region-analysis``): ``seed_connectivity``
+    (default 8), ``min_atom_radius`` (default 15; auto
+    ``AF_min_atom_radius * radius``), ``max_atom_norm_energy`` (default 0.05),
+    ``min_norm_energy_improvement`` (default 0.1),
+    ``max_cluster_marker_irregularity`` (default 0.2) — semantics of
+    ``/root/reference/superdsm/c2freganal.py:118-185``.
+    """
+
+    ENABLED_BY_DEFAULT = True
+
+    def __init__(self):
+        super().__init__('c2f-region-analysis',
+                         inputs=['y', 'dsm_cfg'],
+                         outputs=['y_mask', 'atoms', 'adjacencies', 'seeds', 'clusters'])
+
+    def process(self, input_data, cfg, out, log_root_dir):
+        seed_connectivity = cfg.get('seed_connectivity', 8)
+        min_atom_radius = cfg.get('min_atom_radius', 15)
+        max_atom_norm_energy = cfg.get('max_atom_norm_energy', 0.05)
+        min_norm_energy_improvement = cfg.get('min_norm_energy_improvement', 0.1)
+        max_cluster_marker_irregularity = cfg.get('max_cluster_marker_irregularity', 0.2)
+
+        dsm_cfg = copy_dict(input_data['dsm_cfg'])
+        background_margin = dsm_cfg.get('background_margin', 20)
+
+        out.intermediate('Analyzing cluster markers...')
+        y = Image.create_from_array(input_data['y'], normalize=False)
+        fg_mask = (y.model > 0)
+        fg_bd = np.logical_xor(fg_mask, binary_erosion(fg_mask, disk(1)))
+        y_mask = np.ones(y.model.shape, bool)
+        cluster_markers = ndi.label(fg_mask)[0]
+        for cluster_marker_label in np.unique(cluster_markers):
+            if cluster_marker_label == 0:
+                continue
+            cluster_marker = (cluster_markers == cluster_marker_label)
+            irregularity = fg_bd[cluster_marker].sum() / cluster_marker.sum()
+            if irregularity > max_cluster_marker_irregularity:
+                y_mask[cluster_marker] = False
+
+        cluster_markers[~y_mask] = 0
+        cluster_markers = _normalize_labels_map(cluster_markers, first_label=0)[0]
+        out.write(f'Extracted {cluster_markers.max()} cluster markers')
+
+        clusters = watershed(ndi.distance_transform_edt(cluster_markers == 0),
+                             cluster_markers)
+        atoms_map = np.full(y.model.shape, 0)
+        atom_candidate_by_label = {}
+
+        cluster_labels = sorted(frozenset(clusters.reshape(-1)) - {0})
+        workers = {}
+        clusters_by_label = {}
+        for cluster_label in cluster_labels:
+            cluster = y.get_region(clusters == cluster_label, shrink=True)
+            masked_cluster = cluster.get_region(cluster.shrink_mask(y_mask))
+            clusters_by_label[cluster_label] = cluster
+            workers[cluster_label] = _cluster_worker(
+                cluster, masked_cluster, max_atom_norm_energy, min_atom_radius,
+                min_norm_energy_improvement, background_margin, seed_connectivity)
+
+        results = _drive_cluster_workers(workers, clusters_by_label, y.model.shape, out)
+
+        max_normalized_energy = -np.inf
+        for cluster_label in cluster_labels:
+            root_candidate, cluster_atoms, cluster_atoms_map, cluster_max_ne = results[cluster_label]
+            cluster = clusters_by_label[cluster_label]
+            cluster_label_offset = atoms_map.max()
+            max_normalized_energy = max(cluster_max_ne, max_normalized_energy)
+            atoms_map[cluster.full_mask] = cluster_label_offset + cluster_atoms_map[cluster.mask]
+            for atom_candidate in cluster_atoms:
+                label = cluster_label_offset + next(iter(atom_candidate.footprint))
+                atom_candidate_by_label[label] = atom_candidate
+                if atom_candidate.seed is not None:
+                    seed = np.round(ndi.center_of_mass(atom_candidate.seed)).astype(int)
+                else:
+                    seed = np.array(ndi.center_of_mass(cluster.mask)).round().astype(int)
+                atom_candidate.seed = seed + cluster.offset
+
+        atoms_map, label_translation = _normalize_labels_map(atoms_map, first_label=1, skip_labels=[0])
+        for old_label, atom_candidate in dict(atom_candidate_by_label).items():
+            atom_candidate_by_label[label_translation[old_label]] = atom_candidate
+        out.write(f'Extracted {atoms_map.max()} atoms (max energy rate: {max_normalized_energy:g})')
+
+        atom_nodes = [atom_candidate_by_label[atom_label].seed
+                      for atom_label in sorted(label_translation.values())]
+        adjacencies = AtomAdjacencyGraph(atoms_map, clusters, fg_mask, atom_nodes, out)
+
+        return {
+            'y_mask': y_mask,
+            'atoms': atoms_map,
+            'adjacencies': adjacencies,
+            'seeds': atom_nodes,
+            'clusters': clusters,
+        }
+
+    def configure_ex(self, scale, radius, diameter):
+        return {
+            'min_atom_radius': (radius, 0.33, dict(type=int)),
+        }

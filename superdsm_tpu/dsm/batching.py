@@ -1,0 +1,237 @@
+"""Padded, bucketed batching of per-region convex solves.
+
+This is the TPU replacement for the reference's one-Ray-task-per-object
+fan-out (``/root/reference/superdsm/objects.py:215-284``): candidate regions
+of arbitrary size are packed into statically-shaped batches (pixel counts and
+deformation dimensions padded to bucket sizes, batch padded with dummy
+problems) so that each distinct shape compiles exactly once and hundreds of
+convex programs run per device step.
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .solver import solve_polynomial_batch, solve_dsm_batch, DEFAULT_MAXITER, DEFAULT_TOL
+from .smooth import prepare_deformation, smooth_matrix_params
+
+#: Pixel-count buckets (padded shapes compile once each).
+P_BUCKETS = [512, 2048, 8192, 32768, 131072, 524288, 2097152]
+#: Deformation-dimension buckets.
+K_BUCKETS = [0, 32, 128, 512, 2048]
+#: Batch-size buckets.
+B_BUCKETS = [1, 4, 16, 64]
+#: Rough per-call element budget for the (B, P, K) smooth matrix.
+PIXEL_BUDGET = 400_000_000
+
+
+def _bucket(value, buckets):
+    for b in buckets:
+        if value <= b:
+            return b
+    raise ValueError(f'value {value} exceeds largest bucket {buckets[-1]}')
+
+
+@dataclass
+class Problem:
+    """One region-level convex program.
+
+    :ivar pts: (P, 2) int32 crop-local pixel coordinates of the region mask.
+    :ivar offset: (2,) crop offset within the full image.
+    :ivar img_shape: full-image shape (coordinates are normalized by it).
+    :ivar yv: (P,) offset image intensities at the pixels.
+    :ivar sub: (K, 2) int32 subsample-point coordinates (empty = no
+        deformations, the reference's NULL-matrix case).
+    :ivar tag: caller-defined identifier.
+    """
+    pts: np.ndarray
+    offset: np.ndarray
+    img_shape: tuple
+    yv: np.ndarray
+    sub: np.ndarray
+    tag: object = None
+
+    @property
+    def n_pixels(self):
+        return len(self.pts)
+
+    @property
+    def n_deform(self):
+        return len(self.sub)
+
+    def norm_coords(self):
+        denom = np.maximum(np.asarray(self.img_shape, np.float32) - 1.0, 1.0)
+        return (self.pts + np.asarray(self.offset)[None, :]).astype(np.float32) / denom[None, :]
+
+
+@dataclass
+class ProblemResult:
+    """Solution of one :class:`Problem` (unpadded)."""
+    params: np.ndarray        # (6 + K,)
+    energy: float
+    status: str               # 'optimal' or 'fallback'
+    surface: np.ndarray       # (P,) surface values at the mask pixels
+    tag: object = None
+
+
+def make_problem(region, img_shape=None, smooth_amount=np.inf,
+                 gaussian_shape_multiplier=2, smooth_subsample=20, tag=None):
+    """Builds a :class:`Problem` from an :class:`~superdsm_tpu.image.Image`
+    region (full-frame or cropped; the mask selects the solve pixels).
+
+    Mirrors the region semantics of ``Energy.__init__``
+    (``/root/reference/superdsm/dsm.py:266-289``): pixels are the masked
+    points, coordinates are normalized by the region model shape, and the
+    deformation basis is the subsampled Gaussian matrix of the cropped mask.
+    """
+    from ..image import bbox as _bbox
+    mask = region.mask
+    if img_shape is None:
+        img_shape = region.model.shape
+    if not mask.any():
+        raise ValueError('empty region mask')
+    _, sel = _bbox(mask)
+    mask_crop = mask[sel]
+    pts = np.argwhere(mask_crop).astype(np.int32)
+    offset = np.array([sel[0].start + (region.offset[0] if region.offset is not None else 0),
+                       sel[1].start + (region.offset[1] if region.offset is not None else 0)],
+                      np.int32)
+    yv = region.model[sel][mask_crop].astype(np.float32)
+    sub = prepare_deformation(mask_crop, smooth_amount, gaussian_shape_multiplier,
+                              smooth_subsample)
+    return Problem(pts=pts, offset=offset, img_shape=tuple(img_shape), yv=yv,
+                   sub=sub, tag=tag)
+
+
+def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
+                   gaussian_shape_multiplier=2, init='elliptical',
+                   maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, out=None,
+                   progress_line='Computing objects'):
+    """Solves a list of :class:`Problem` in padded, bucketed batches.
+
+    Two phases, mirroring ``cvxprog``
+    (``/root/reference/superdsm/objects.py:361-412``): a 6-parameter
+    elliptical solve for initialization, then the full DSM solve with the
+    deformation basis. Problems without deformation dimensions are finished
+    after phase 1 (the reference re-runs the zero-column CP, which is a
+    no-op on an already-converged solution).
+
+    :return: list of :class:`ProblemResult`, aligned with ``problems``.
+    """
+    results = [None] * len(problems)
+    if len(problems) == 0:
+        return results
+
+    _, cutoff = smooth_matrix_params(smooth_amount, gaussian_shape_multiplier)
+
+    # ---- phase 1: elliptical (6-parameter) solves, bucketed by P ----
+    order = sorted(range(len(problems)), key=lambda i: problems[i].n_pixels)
+    phase1_params = [None] * len(problems)
+    phase1_energy = [None] * len(problems)
+    phase1_surface = [None] * len(problems)
+    phase1_conv = [None] * len(problems)
+
+    groups = {}
+    for i in order:
+        pb = _bucket(problems[i].n_pixels, P_BUCKETS)
+        groups.setdefault(pb, []).append(i)
+
+    done = 0
+    for pb, idxs in sorted(groups.items()):
+        bmax = max(1, min(B_BUCKETS[-1], PIXEL_BUDGET // max(pb * 8, 1)))
+        for chunk_start in range(0, len(idxs), bmax):
+            chunk = idxs[chunk_start: chunk_start + bmax]
+            Bp = _bucket(len(chunk), B_BUCKETS)
+            C = np.zeros((Bp, pb, 2), np.float32)
+            Y = np.zeros((Bp, pb), np.float32)
+            Wt = np.zeros((Bp, pb), np.float32)
+            for j, i in enumerate(chunk):
+                p = problems[i]
+                C[j, :p.n_pixels] = p.norm_coords()
+                Y[j, :p.n_pixels] = p.yv
+                Wt[j, :p.n_pixels] = 1.0
+            r = solve_polynomial_batch(C, Y, Wt, maxiter=maxiter, tol=tol)
+            for j, i in enumerate(chunk):
+                p = problems[i]
+                phase1_params[i] = r.params[j]
+                phase1_energy[i] = float(r.energy[j])
+                phase1_surface[i] = r.surface[j, :p.n_pixels]
+                phase1_conv[i] = bool(r.converged[j])
+            done += len(chunk)
+            if out is not None:
+                out.intermediate(f'{progress_line}... phase 1: {done} / {len(problems)}')
+
+    # ---- phase 2: full DSM solves for problems with deformation dims ----
+    groups2 = {}
+    for i in range(len(problems)):
+        p = problems[i]
+        if p.n_deform == 0 or not np.isfinite(smooth_amount):
+            results[i] = ProblemResult(
+                params=phase1_params[i], energy=phase1_energy[i],
+                status='optimal' if phase1_conv[i] else _fallback_status(phase1_energy[i]),
+                surface=phase1_surface[i], tag=p.tag)
+            continue
+        key = (_bucket(p.n_pixels, P_BUCKETS), _bucket(max(p.n_deform, 1), K_BUCKETS[1:]))
+        groups2.setdefault(key, []).append(i)
+
+    done = 0
+    total2 = sum(len(v) for v in groups2.values())
+    for (pb, kb), idxs in sorted(groups2.items()):
+        idxs.sort(key=lambda i: problems[i].n_pixels)
+        bmax = max(1, min(B_BUCKETS[-1], PIXEL_BUDGET // max(pb * (kb + 8), 1)))
+        for chunk_start in range(0, len(idxs), bmax):
+            chunk = idxs[chunk_start: chunk_start + bmax]
+            Bp = _bucket(len(chunk), B_BUCKETS)
+            C = np.zeros((Bp, pb, 2), np.float32)
+            PIX = np.zeros((Bp, pb, 2), np.int32)
+            SUB = np.zeros((Bp, kb, 2), np.int32)
+            KM = np.zeros((Bp, kb), np.float32)
+            Y = np.zeros((Bp, pb), np.float32)
+            Wt = np.zeros((Bp, pb), np.float32)
+            P0 = np.zeros((Bp, 6 + kb), np.float32)
+            for j, i in enumerate(chunk):
+                p = problems[i]
+                n, k = p.n_pixels, p.n_deform
+                C[j, :n] = p.norm_coords()
+                PIX[j, :n] = p.pts
+                SUB[j, :k] = p.sub
+                KM[j, :k] = 1.0
+                Y[j, :n] = p.yv
+                Wt[j, :n] = 1.0
+                if init == 'elliptical':
+                    P0[j, :6] = phase1_params[i]
+                # place padded subsample points far away so they cannot fall
+                # into the support window of real pixels
+                SUB[j, k:] = -10 * (cutoff + 1)
+            r = solve_dsm_batch(C, PIX, SUB, KM, Y, Wt, P0,
+                                alpha=np.full(Bp, alpha, np.float32), epsilon=epsilon,
+                                sigma=float(smooth_amount), cutoff=int(cutoff),
+                                maxiter=maxiter, tol=tol)
+            for j, i in enumerate(chunk):
+                p = problems[i]
+                n, k = p.n_pixels, p.n_deform
+                energy = float(r.energy[j])
+                # fallback semantics (/root/reference/superdsm/objects.py:394-411):
+                # if the full solve did not converge and is worse than its
+                # initialization, keep the initialization
+                if (not bool(r.converged[j])) and energy > phase1_energy[i] + 1e-6 * (1 + abs(energy)):
+                    results[i] = ProblemResult(
+                        params=np.concatenate([phase1_params[i], np.zeros(k, np.float32)]),
+                        energy=phase1_energy[i], status='fallback',
+                        surface=phase1_surface[i], tag=p.tag)
+                else:
+                    results[i] = ProblemResult(
+                        params=np.concatenate([r.params[j, :6], r.params[j, 6:6 + k]]),
+                        energy=energy, status='optimal',
+                        surface=r.surface[j, :n], tag=p.tag)
+            done += len(chunk)
+            if out is not None:
+                out.intermediate(f'{progress_line}... phase 2: {done} / {total2}')
+
+    return results
+
+
+def _fallback_status(energy):
+    return 'optimal' if np.isfinite(energy) else 'fallback'

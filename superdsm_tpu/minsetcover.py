@@ -1,0 +1,155 @@
+"""Min-weight set cover of atomic regions by candidate objects.
+
+Implements Algorithm 2 of Kostrykin & Rohr (TPAMI 2023) with the same
+semantics as the reference (``/root/reference/superdsm/minsetcover.py``):
+greedy price-driven selection, a merge step that replaces groups of accepted
+objects by a cheaper superset, and recursive retries with a reduced sparsity
+parameter ``beta <- gamma * beta``, keeping the cheaper solution.
+
+:class:`MinSetCover` maintains per-cluster candidate pools so that adding new
+candidate objects only re-solves the touched clusters.
+"""
+
+from .output import get_output
+
+DEFAULT_MAX_ITER = 5
+DEFAULT_GAMMA = 0.8
+
+
+def _merge_step(objects, accepted_objects, beta):
+    """Replaces groups of accepted objects by a cheaper superset object."""
+    replacements_count = 0
+    w = lambda c: c.energy + beta
+    accepted = list(accepted_objects)
+    accepted_set = set(map(id, accepted))
+    for c_new in sorted((c for c in objects if id(c) not in accepted_set), key=w):
+        blockers = []
+        valid_replacement = True
+        for c in accepted:
+            overlap = len(c.footprint & c_new.footprint)
+            if overlap == 0:
+                continue
+            if overlap < len(c.footprint):
+                valid_replacement = False
+                break
+            blockers.append(c)
+        if not valid_replacement:
+            continue
+        if w(c_new) < sum(w(c) for c in blockers):
+            replacements_count += len(blockers)
+            blocker_ids = set(map(id, blockers))
+            accepted = [c for c in accepted if id(c) not in blocker_ids] + [c_new]
+    return accepted, replacements_count
+
+
+def _solve_greedy(objects, beta, merge=True, out=None):
+    out = get_output(out)
+    w = lambda c: c.energy + beta
+    accepted_objects = []
+    remaining_objects = list(objects)
+    uncovered_atoms = set()
+    for c in objects:
+        uncovered_atoms |= c.footprint
+
+    while remaining_objects:
+        best_object = min(remaining_objects,
+                          key=lambda c: w(c) / len(c.footprint & uncovered_atoms))
+        accepted_objects.append(best_object)
+        uncovered_atoms -= best_object.footprint
+        remaining_objects = [c for c in remaining_objects
+                             if len(c.footprint & uncovered_atoms) > 0]
+
+    out.write(f'MINSETCOVER - GREEDY accepted objects: {len(accepted_objects)}')
+    if merge:
+        accepted_objects, replacements_count = _merge_step(objects, accepted_objects, beta)
+        out.write(f'MINSETCOVER - MERGED objects: {replacements_count}')
+    return accepted_objects
+
+
+def solve_minsetcover(objects, beta, merge=True, max_iter=DEFAULT_MAX_ITER,
+                      gamma=DEFAULT_GAMMA, out=None):
+    """Approximate min-weight set cover (Algorithm 2, TPAMI 2023).
+
+    :param objects: Candidate sets; ``c.energy`` is the set energy ν(X).
+    :param beta: Sparsity parameter β >= 0.
+    :param merge: Whether to run the merge step.
+    :param max_iter: Retries with increasingly conservative merging.
+    :param gamma: β reduction factor per retry (0 < γ < 1).
+    """
+    assert beta >= 0
+    assert 0 < gamma < 1
+    out = get_output(out)
+    solution1 = _solve_greedy(objects, beta, merge, out)
+    if max_iter > 1 and beta > 0:
+        new_beta = beta * gamma
+        out.write(f'MINSETCOVER retry with lower beta: {new_beta:g}')
+        solution2 = solve_minsetcover(objects, new_beta, merge, max_iter - 1, gamma, out)
+        solution1_value = sum(c.energy for c in solution1) + beta * len(solution1)
+        solution2_value = sum(c.energy for c in solution2) + beta * len(solution2)
+        if solution2_value < solution1_value:
+            out.write(f'MINSETCOVER solution for beta={beta:g} improved by '
+                      f'{solution2_value - solution1_value:,g} '
+                      f'(-{100 * (1 - solution2_value / solution1_value):.2f}%)')
+            return solution2
+    return solution1
+
+
+def _get_atom_label(atom):
+    assert len(atom.footprint) == 1
+    return next(iter(atom.footprint))
+
+
+class MinSetCover:
+    """An incrementally maintained min-weight set-cover instance.
+
+    The candidate family starts with the singleton atoms; :meth:`update`
+    adds new candidate objects and re-solves only the clusters they touch.
+    """
+
+    def __init__(self, atoms, beta, adjacencies, **solve_minsetcover_kwargs):
+        self.atoms = {_get_atom_label(atom): atom for atom in atoms}
+        self.beta = beta
+        self.adjacencies = adjacencies
+        self.solve_minsetcover_kwargs = solve_minsetcover_kwargs
+        self.objects_by_cluster = {
+            cluster: [atom for atom in atoms
+                      if adjacencies.get_cluster_label(_get_atom_label(atom)) == cluster]
+            for cluster in adjacencies.cluster_labels}
+        self.solution_by_cluster = {
+            cluster: self.objects_by_cluster[cluster]
+            for cluster in adjacencies.cluster_labels}
+
+    def _update_partial_solution(self, cluster_label, out):
+        objects = self.objects_by_cluster[cluster_label]
+        self.solution_by_cluster[cluster_label] = solve_minsetcover(
+            objects, self.beta, out=out, **self.solve_minsetcover_kwargs)
+
+    def get_atom(self, atom_label):
+        """The singleton object of an atomic region."""
+        return self.atoms[atom_label]
+
+    def update(self, new_objects, out=None):
+        """Adds candidates and re-solves the clusters they touch."""
+        invalidated_clusters = set()
+        for new_object in new_objects:
+            cluster_label = self.adjacencies.get_cluster_label(next(iter(new_object.footprint)))
+            invalidated_clusters.add(cluster_label)
+            self.objects_by_cluster[cluster_label].append(new_object)
+        for cluster_label in invalidated_clusters:
+            self._update_partial_solution(cluster_label, out)
+
+    def get_cluster_costs(self, cluster_label):
+        """MSC value restricted to one cluster."""
+        partial_solution = self.solution_by_cluster[cluster_label]
+        return sum(c.energy for c in partial_solution) + self.beta * len(partial_solution)
+
+    @property
+    def solution(self):
+        """The selected family of objects (all clusters)."""
+        return sum((list(partial) for partial in self.solution_by_cluster.values()), [])
+
+    @property
+    def costs(self):
+        """Total cover cost Σ (β + ν(X))."""
+        solution = self.solution
+        return sum(c.energy for c in solution) + self.beta * len(solution)

@@ -1,0 +1,164 @@
+// Native runtime ops for superdsm_tpu.
+//
+// Marker-based priority-flood watershed (functional counterpart of
+// skimage.segmentation.watershed as used by the reference at
+// /root/reference/superdsm/c2freganal.py:37 and
+// /root/reference/superdsm/render.py:388-451), plus a chessboard distance
+// transform used by the deformation-basis subsample grid.
+//
+// Exposed as plain C symbols and loaded via ctypes; no Python dependency.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cmath>
+#include <queue>
+#include <vector>
+#include <cstring>
+#include <limits>
+
+namespace {
+
+struct QEntry {
+    float value;
+    uint64_t age;
+    int32_t idx;
+};
+
+struct QCompare {
+    // std::priority_queue is a max-heap; invert for (value, age) min-ordering.
+    bool operator()(const QEntry& a, const QEntry& b) const {
+        if (a.value != b.value) return a.value > b.value;
+        return a.age > b.age;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Priority-flood watershed on a 2D grid.
+//   image:   H*W float32 (lower values flooded first)
+//   markers: H*W int32 (>0 seed labels, 0 elsewhere)
+//   mask:    H*W uint8 (1 = floodable) or nullptr for all-true
+//   conn:    4 or 8
+//   out:     H*W int32 result labels (0 where unreached)
+void sdsm_watershed(const float* image, const int32_t* markers,
+                    const uint8_t* mask, int32_t H, int32_t W,
+                    int32_t conn, int32_t* out) {
+    const int64_t n = static_cast<int64_t>(H) * W;
+    std::priority_queue<QEntry, std::vector<QEntry>, QCompare> heap;
+    uint64_t age = 0;
+
+    for (int64_t i = 0; i < n; ++i) {
+        out[i] = markers[i];
+        if (markers[i] > 0 && (!mask || mask[i])) {
+            heap.push({image[i], age++, static_cast<int32_t>(i)});
+        }
+    }
+
+    const int dr8[8] = {-1, 1, 0, 0, -1, -1, 1, 1};
+    const int dc8[8] = {0, 0, -1, 1, -1, 1, -1, 1};
+    const int nn = (conn == 8) ? 8 : 4;
+
+    std::vector<uint8_t> queued(n, 0);
+    for (int64_t i = 0; i < n; ++i) queued[i] = (out[i] > 0) ? 1 : 0;
+
+    while (!heap.empty()) {
+        QEntry e = heap.top();
+        heap.pop();
+        const int32_t r = e.idx / W, c = e.idx % W;
+        const int32_t label = out[e.idx];
+        for (int k = 0; k < nn; ++k) {
+            const int32_t rr = r + dr8[k], cc = c + dc8[k];
+            if (rr < 0 || rr >= H || cc < 0 || cc >= W) continue;
+            const int64_t j = static_cast<int64_t>(rr) * W + cc;
+            if (queued[j]) continue;
+            if (mask && !mask[j]) continue;
+            out[j] = label;
+            queued[j] = 1;
+            heap.push({image[j], age++, static_cast<int32_t>(j)});
+        }
+    }
+}
+
+// Chessboard (Chebyshev) distance to the nearest true pixel of `sources`.
+// Two-pass chamfer; exact for the chessboard metric.
+void sdsm_chessboard_edt(const uint8_t* sources, int32_t H, int32_t W,
+                         int32_t* out) {
+    const int32_t INF = std::numeric_limits<int32_t>::max() / 4;
+    for (int64_t i = 0; i < static_cast<int64_t>(H) * W; ++i)
+        out[i] = sources[i] ? 0 : INF;
+    // forward pass
+    for (int32_t r = 0; r < H; ++r) {
+        for (int32_t c = 0; c < W; ++c) {
+            int64_t i = static_cast<int64_t>(r) * W + c;
+            int32_t v = out[i];
+            if (r > 0) {
+                v = std::min(v, out[i - W] + 1);
+                if (c > 0) v = std::min(v, out[i - W - 1] + 1);
+                if (c + 1 < W) v = std::min(v, out[i - W + 1] + 1);
+            }
+            if (c > 0) v = std::min(v, out[i - 1] + 1);
+            out[i] = v;
+        }
+    }
+    // backward pass
+    for (int32_t r = H - 1; r >= 0; --r) {
+        for (int32_t c = W - 1; c >= 0; --c) {
+            int64_t i = static_cast<int64_t>(r) * W + c;
+            int32_t v = out[i];
+            if (r + 1 < H) {
+                v = std::min(v, out[i + W] + 1);
+                if (c > 0) v = std::min(v, out[i + W - 1] + 1);
+                if (c + 1 < W) v = std::min(v, out[i + W + 1] + 1);
+            }
+            if (c + 1 < W) v = std::min(v, out[i + 1] + 1);
+            out[i] = v;
+        }
+    }
+}
+
+// Greedy chessboard-coverage subsample grid (counterpart of
+// /root/reference/superdsm/dsm.py:164-181): starting from a regular stride
+// grid intersected with the mask, repeatedly add the masked pixel with the
+// smallest distance >= stride until the mask is covered.
+// Returns the number of grid points written to grid_out (H*W uint8).
+int32_t sdsm_subsample_grid(const uint8_t* mask, int32_t H, int32_t W,
+                            int32_t stride, int32_t off_r, int32_t off_c,
+                            uint8_t* grid_out) {
+    const int64_t n = static_cast<int64_t>(H) * W;
+    std::memset(grid_out, 0, n);
+    std::vector<uint8_t> seed(n, 0);
+    int32_t count = 0;
+    for (int32_t r = off_r; r < H; r += stride)
+        for (int32_t c = off_c; c < W; c += stride) {
+            int64_t i = static_cast<int64_t>(r) * W + c;
+            if (mask[i]) { grid_out[i] = 1; seed[i] = 1; count++; }
+        }
+    std::vector<int32_t> dist(n);
+    sdsm_chessboard_edt(seed.data(), H, W, dist.data());
+    // mask out distances outside the mask (reference multiplies by mask)
+    for (int64_t i = 0; i < n; ++i) if (!mask[i]) dist[i] = 0;
+    while (true) {
+        int32_t best = std::numeric_limits<int32_t>::max();
+        int64_t best_i = -1;
+        for (int64_t i = 0; i < n; ++i) {
+            if (dist[i] >= stride && dist[i] < best) { best = dist[i]; best_i = i; }
+        }
+        if (best_i < 0) break;
+        grid_out[best_i] = 1;
+        count++;
+        const int32_t r0 = static_cast<int32_t>(best_i / W);
+        const int32_t c0 = static_cast<int32_t>(best_i % W);
+        for (int64_t i = 0; i < n; ++i) {
+            if (!mask[i]) continue;
+            const int32_t r = static_cast<int32_t>(i / W);
+            const int32_t c = static_cast<int32_t>(i % W);
+            const int32_t d = std::max(std::abs(r - r0), std::abs(c - c0));
+            if (d < dist[i]) dist[i] = d;
+        }
+    }
+    return count;
+}
+
+}  // extern "C"

@@ -1,0 +1,220 @@
+"""Objects (sets of atomic regions) and batched model fitting.
+
+Counterpart of the reference's ``superdsm/objects.py``. The per-object Ray
+fan-out (``/root/reference/superdsm/objects.py:215-284``) is replaced by
+:func:`compute_objects` packing all candidate regions into padded, bucketed
+batches solved on the TPU (see :mod:`superdsm_tpu.dsm.batching`).
+"""
+
+import time
+
+import numpy as np
+import scipy.ndimage as ndi
+
+from .output import get_output
+from ._aux import copy_dict
+from .image import bbox as _bbox
+from .dsm.model import DeformableShapeModel, polynomial_basis
+from .dsm.batching import Problem, ProblemResult, make_problem, solve_problems
+
+
+class BaseObject:
+    """A segmentation mask as a foreground fragment plus an offset."""
+
+    def __init__(self):
+        self.fg_offset = None
+        self.fg_fragment = None
+
+    def fill_foreground(self, out, value=True):
+        """Writes the segmentation mask of this object into ``out``.
+
+        :return: The slice of ``out`` that was altered.
+        """
+        assert self.fg_offset is not None
+        assert self.fg_fragment is not None
+        sel = np.s_[self.fg_offset[0]: self.fg_offset[0] + self.fg_fragment.shape[0],
+                    self.fg_offset[1]: self.fg_offset[1] + self.fg_fragment.shape[1]]
+        out[sel] = value * self.fg_fragment
+        return sel
+
+
+class Object(BaseObject):
+    """A set of atomic image regions (a realization of the set X).
+
+    :ivar footprint: Set of atom labels this object represents.
+    :ivar energy: Value of the set energy ν(X).
+    :ivar on_boundary: Whether the object touches the image boundary.
+    :ivar is_optimal: Whether the energy optimization succeeded.
+    :ivar processing_time: Solve time in seconds (batch-amortized here).
+    """
+
+    def __init__(self):
+        super().__init__()
+        self.footprint = set()
+        self.energy = np.nan
+        self.on_boundary = np.nan
+        self.is_optimal = np.nan
+        self.processing_time = np.nan
+
+    def get_mask(self, atoms):
+        """Binary mask of the union of the represented atomic regions."""
+        return np.isin(atoms, list(self.footprint)).reshape(atoms.shape)
+
+    def get_cvxprog_region(self, y, atoms, background_margin):
+        """The region used for convex programming: the union-of-atoms mask
+        intersected with a ``background_margin``-wide stripe of background
+        (cf. ``/root/reference/superdsm/objects.py:95-128``)."""
+        region = y.get_region(self.get_mask(atoms))
+        region.mask = np.logical_and(region.mask,
+                                     _background_distance(y) <= background_margin)
+        return region
+
+    def set(self, state):
+        """Adopts the state of another object."""
+        self.fg_fragment = state.fg_fragment.copy() if state.fg_fragment is not None else None
+        self.fg_offset = state.fg_offset.copy() if state.fg_offset is not None else None
+        self.footprint = set(state.footprint)
+        self.energy = state.energy
+        self.on_boundary = state.on_boundary
+        self.is_optimal = state.is_optimal
+        self.processing_time = state.processing_time
+        return self
+
+    def copy(self):
+        return Object().set(self)
+
+
+def _background_distance(y):
+    """EDT of the background (y <= 0), cached on the image object.
+
+    The reference recomputes this EDT for every object
+    (``/root/reference/superdsm/objects.py:127``); it only depends on ``y``,
+    so it is computed once per image here.
+    """
+    cache = getattr(y, '_sdsm_bg_edt', None)
+    if cache is None:
+        cache = ndi.distance_transform_edt(y.model <= 0)
+        y._sdsm_bg_edt = cache
+    return cache
+
+
+def extract_foreground_fragment(fg_mask):
+    """Returns the minimal bounding rectangle of the foreground + offset."""
+    if fg_mask.any():
+        rows = fg_mask.any(axis=1)
+        cols = fg_mask.any(axis=0)
+        rmin, rmax = np.where(rows)[0][[0, -1]]
+        cmin, cmax = np.where(cols)[0][[0, -1]]
+        fg_offset = np.array([rmin, cmin])
+        fg_fragment = fg_mask[rmin: rmax + 1, cmin: cmax + 1]
+        return fg_offset, fg_fragment
+    return np.zeros(2, int), np.zeros((1, 1), bool)
+
+
+class CvxprogError(Exception):
+    """Raised when model fitting fails irrecoverably."""
+
+
+DEFAULT_COMPUTING_STATUS_LINE = ('Computing objects', 'Computed objects')
+
+
+def _border_ring_coords(shape):
+    """Normalized coordinates of the 1-pixel ring just outside the image.
+
+    The reference determines ``on_boundary`` by evaluating the fitted surface
+    on a zero-padded full-image grid and checking its border
+    (``/root/reference/superdsm/objects.py:198-209``); border pixels carry no
+    deformation term (they are outside every mask), so the polynomial part
+    suffices. Padded border pixel p maps to normalized coordinate
+    ``(p - 1) / (shape - 1)``.
+    """
+    H, W = shape
+    rs, cs = [], []
+    cols = np.arange(W + 2)
+    rows = np.arange(1, H + 1)
+    rs += [np.zeros(W + 2), np.full(W + 2, H + 1), rows, rows]
+    cs += [cols, cols, np.zeros(H), np.full(H, W + 1)]
+    r = np.concatenate(rs) - 1.0
+    c = np.concatenate(cs) - 1.0
+    denom = np.maximum(np.array(shape, float) - 1.0, 1.0)
+    return np.stack([r / denom[0], c / denom[1]], axis=-1)
+
+
+def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
+                    status_line=DEFAULT_COMPUTING_STATUS_LINE, out=None):
+    """Computes energy/foreground/boundary attributes for a list of objects.
+
+    All objects are fitted in padded batches on the device; the attributes
+    :attr:`~Object.energy`, :attr:`~Object.on_boundary`,
+    :attr:`~Object.is_optimal`, :attr:`~Object.processing_time`,
+    :attr:`~BaseObject.fg_fragment`, :attr:`~BaseObject.fg_offset` are filled
+    in place (cf. ``/root/reference/superdsm/objects.py:243-284``).
+    """
+    out = get_output(out)
+    dsm_cfg = copy_dict(dsm_cfg)
+    dsm_cfg.pop('smooth_mat_max_allocations', None)
+    objects = list(objects)
+    t0 = time.time()
+
+    margin = dsm_cfg.get('background_margin', 20)
+    smooth_amount = dsm_cfg.get('smooth_amount', 10)
+    ring = _border_ring_coords(y.model.shape)
+    ring_basis = polynomial_basis(ring)
+
+    problems = []
+    problem_obj_idx = []
+    trivial = []
+    for idx, obj in enumerate(objects):
+        region = obj.get_cvxprog_region(y, atoms, margin)
+        if (region.model[region.mask] > 0).sum() == 1:
+            # single-pixel foreground is just noise
+            # (/root/reference/superdsm/objects.py:184-191)
+            trivial.append(idx)
+            obj.fg_offset = np.zeros(2, int)
+            obj.fg_fragment = np.zeros((1, 1), bool)
+            obj.energy = 0.
+            obj.on_boundary = False
+            obj.is_optimal = False
+            obj.processing_time = 0
+            continue
+        problems.append(make_problem(
+            region, img_shape=y.model.shape,
+            smooth_amount=smooth_amount,
+            gaussian_shape_multiplier=dsm_cfg.get('gaussian_shape_multiplier', 2),
+            smooth_subsample=dsm_cfg.get('smooth_subsample', 20), tag=idx))
+        problem_obj_idx.append(idx)
+
+    results = solve_problems(
+        problems,
+        alpha=dsm_cfg.get('alpha', 0.5), epsilon=dsm_cfg.get('epsilon', 1.0),
+        smooth_amount=smooth_amount,
+        gaussian_shape_multiplier=dsm_cfg.get('gaussian_shape_multiplier', 2),
+        init=dsm_cfg.get('init', 'elliptical'), out=out,
+        progress_line=status_line[0])
+
+    dt = time.time() - t0
+    fallbacks = 0
+    per_obj_time = dt / max(1, len(problems))
+    for prob, res in zip(problems, results):
+        obj = objects[prob.tag]
+        fg_local = res.surface > 0
+        crop_shape = tuple(prob.pts.max(axis=0) + 1) if prob.n_pixels else (1, 1)
+        fg_crop = np.zeros(crop_shape, bool)
+        fg_crop[prob.pts[:, 0], prob.pts[:, 1]] = fg_local
+        if fg_crop.any():
+            off, frag = extract_foreground_fragment(fg_crop)
+            obj.fg_offset = off + np.asarray(prob.offset)
+            obj.fg_fragment = frag
+        else:
+            obj.fg_offset = np.zeros(2, int)
+            obj.fg_fragment = np.zeros((1, 1), bool)
+        theta = res.params[:6]
+        obj.on_boundary = bool((ring_basis @ theta > 0).any())
+        obj.energy = res.energy
+        obj.is_optimal = (res.status == 'optimal')
+        obj.processing_time = per_obj_time
+        if res.status == 'fallback':
+            fallbacks += 1
+
+    out.write(f'{status_line[1]}: {len(objects)} ({fallbacks}x fallback)')
+    return objects

@@ -1,0 +1,19 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The environment registers a remote-TPU PJRT plugin at interpreter startup
+(``sitecustomize``); tests must not depend on that tunnel, so the platform is
+forced to CPU *before any backend is initialized* and the host platform is
+split into 8 virtual devices for multi-chip sharding tests.
+"""
+
+import os
+import sys
+
+os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
+                           + ' --xla_force_host_platform_device_count=8')
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
