@@ -123,8 +123,14 @@ class Config:
 
     @property
     def md5(self):
-        """MD5 hash object over the JSON representation of the entries."""
-        return hashlib.md5(json.dumps(self.entries).encode('utf8'))
+        """MD5 hash object over the JSON representation of the entries.
+
+        Keys are sorted so that the digest is insertion-order independent
+        (the reference hashes in insertion order,
+        ``/root/reference/superdsm/config.py:178-182``, which makes pickup
+        digests fragile against config reordering).
+        """
+        return hashlib.md5(json.dumps(self.entries, sort_keys=True).encode('utf8'))
 
     def __str__(self):
         return json.dumps(self.entries, indent=2)

@@ -1,0 +1,78 @@
+"""Unit tests for objects (mirrors reference ``tests/test_objects.py``)."""
+
+import numpy as np
+
+from superdsm_tpu.objects import BaseObject, Object, extract_foreground_fragment
+from superdsm_tpu.image import Image
+
+
+def test_fill_foreground():
+    obj = BaseObject()
+    obj.fg_fragment = np.array([[False, True],
+                                [True, True],
+                                [True, False]])
+    obj.fg_offset = (1, 2)
+    actual = np.zeros((4, 5), bool)
+    obj.fill_foreground(actual)
+    expected = np.array([[False, False, False, False, False],
+                         [False, False, False, True, False],
+                         [False, False, True, True, False],
+                         [False, False, True, False, False]])
+    np.testing.assert_allclose(actual, expected)
+
+
+def test_get_mask():
+    atoms = np.array([[1, 1, 2],
+                      [1, 3, 2],
+                      [3, 3, 3]])
+    obj = Object()
+    obj.footprint = set([2, 3])
+    expected = np.array([[False, False, True],
+                         [False, True, True],
+                         [True, True, True]])
+    np.testing.assert_allclose(obj.get_mask(atoms), expected)
+
+
+def test_extract_foreground_fragment():
+    mask = np.array([[False, False, False, False, False],
+                     [False, False, False, True, False],
+                     [False, False, True, True, False],
+                     [False, False, True, False, False]])
+    offset, fragment = extract_foreground_fragment(mask)
+    np.testing.assert_allclose(offset, np.array([1, 2]))
+    np.testing.assert_allclose(fragment, np.array([[False, True],
+                                                   [True, True],
+                                                   [True, False]]))
+
+
+def test_extract_foreground_fragment_empty():
+    offset, fragment = extract_foreground_fragment(np.zeros((3, 3), bool))
+    np.testing.assert_allclose(offset, np.zeros(2))
+    assert fragment.shape == (1, 1) and not fragment.any()
+
+
+def test_get_cvxprog_region():
+    y_data = np.array([[-1, -1, -1, -1, -1],
+                       [-1, -1, -1, -1, -1],
+                       [-1, -1, -1, -1, -1],
+                       [-1, +1, -1, -1, -1],
+                       [-1, +1, -1, -1, +1],
+                       [-1, +1, -1, -1, +1]])
+    atoms = np.array([[1, 1, 1, 1, 1],
+                      [1, 1, 1, 1, 1],
+                      [1, 1, 1, 1, 2],
+                      [1, 1, 1, 2, 2],
+                      [1, 1, 1, 2, 2],
+                      [1, 1, 1, 2, 2]])
+    obj = Object()
+    obj.footprint = set([1])
+    y = Image(np.asarray(y_data, float))
+    region = obj.get_cvxprog_region(y, atoms, background_margin=2)
+    expected = np.array([[False, False, False, False, False],
+                         [False, True, False, False, False],
+                         [True, True, True, False, False],
+                         [True, True, True, False, False],
+                         [True, True, True, False, False],
+                         [True, True, True, False, False]])
+    np.testing.assert_allclose(region.mask, expected)
+    np.testing.assert_allclose(region.model, y_data)

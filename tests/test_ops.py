@@ -1,0 +1,72 @@
+"""Tests of the device/native ops against their scipy ground truths."""
+
+import numpy as np
+import scipy.ndimage as ndi
+import pytest
+
+from superdsm_tpu.ops.gaussian import gaussian_filter, gaussian_filter_host
+from superdsm_tpu.ops.edt import edt, edt_jax
+from superdsm_tpu.ops.watershed import watershed, _watershed_py
+from superdsm_tpu.ops.morphology import disk, binary_dilation, binary_erosion
+
+
+def test_gaussian_matches_scipy():
+    rng = np.random.RandomState(0)
+    img = rng.rand(64, 80).astype(np.float32)
+    for sigma in (1.0, 2.5, 7.0):
+        dev = np.asarray(gaussian_filter(img, sigma))
+        host = gaussian_filter_host(img, sigma)
+        np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
+
+
+def test_gaussian_large_sigma_small_image():
+    img = np.random.RandomState(1).rand(20, 20).astype(np.float32)
+    dev = np.asarray(gaussian_filter(img, 40.0))
+    host = gaussian_filter_host(img, 40.0)
+    np.testing.assert_allclose(dev, host, rtol=1e-3, atol=1e-4)
+
+
+def test_edt_jax_matches_scipy():
+    rng = np.random.RandomState(2)
+    mask = rng.rand(40, 56) < 0.7
+    np.testing.assert_allclose(np.asarray(edt_jax(mask)), edt(mask), atol=1e-3)
+
+
+def test_watershed_native_matches_python():
+    rng = np.random.RandomState(3)
+    img = ndi.gaussian_filter(rng.rand(40, 40), 3)
+    markers = np.zeros((40, 40), np.int32)
+    markers[10, 10] = 1
+    markers[30, 30] = 2
+    mask = np.ones((40, 40), bool)
+    mask[:, 19:21] = (np.abs(np.arange(40) - 20)[:, None] < 15)
+    a = watershed(img, markers, mask)
+    b = _watershed_py(img, markers, mask, 4)
+    # native and python floods may tie-break differently on plateau pixels;
+    # demand agreement on the overwhelming majority
+    agree = (a == b).mean()
+    assert agree > 0.99, agree
+    assert set(np.unique(a)) <= {0, 1, 2}
+
+
+def test_watershed_splits_two_basins():
+    rr, cc = np.indices((30, 30))
+    relief = np.minimum((rr - 8) ** 2 + (cc - 8) ** 2,
+                        (rr - 22) ** 2 + (cc - 22) ** 2).astype(float)
+    markers = np.zeros((30, 30), np.int32)
+    markers[8, 8] = 1
+    markers[22, 22] = 2
+    labels = watershed(relief, markers)
+    assert labels[8, 8] == 1 and labels[22, 22] == 2
+    assert (labels > 0).all()
+    assert 0.3 < (labels == 1).mean() < 0.7
+
+
+def test_morphology_matches_scipy():
+    rng = np.random.RandomState(4)
+    mask = rng.rand(30, 30) < 0.4
+    fp = disk(2)
+    np.testing.assert_array_equal(
+        binary_dilation(mask, fp), ndi.binary_dilation(mask, structure=fp.astype(bool)))
+    np.testing.assert_array_equal(
+        binary_erosion(mask, fp), ndi.binary_erosion(mask, structure=fp.astype(bool)))

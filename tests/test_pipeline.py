@@ -1,0 +1,117 @@
+"""End-to-end pipeline tests on synthetic images.
+
+Replaces the reference's golden-image integration test
+(``/root/reference/tests/test_render.py``) with a self-contained synthetic
+fixture and tolerance-based assertions — the reference itself keeps
+per-hostname goldens because exact outputs are backend-sensitive
+(cf. SURVEY.md section 4).
+"""
+
+import numpy as np
+import pytest
+
+from superdsm_tpu.pipeline import create_default_pipeline, create_pipeline, Stage
+from superdsm_tpu.config import Config
+
+
+def synthetic_blobs(seed=0, H=120, W=120,
+                    blobs=((40, 40, 14), (40, 66, 12), (90, 90, 14))):
+    rng = np.random.RandomState(seed)
+    rr, cc = np.indices((H, W))
+    g = np.zeros((H, W), np.float32)
+    for (r0, c0, rad) in blobs:
+        g += np.exp(-(((rr - r0) ** 2 + (cc - c0) ** 2) / (2 * (rad * 0.7) ** 2)))
+    g += rng.randn(H, W).astype(np.float32) * 0.02
+    return g
+
+
+@pytest.fixture(scope='module')
+def result():
+    pipeline = create_default_pipeline()
+    cfg = Config()
+    cfg['c2f-region-analysis/min_atom_radius'] = 6
+    cfg['global-energy-minimization/beta'] = 0.5
+    data, cfg_used, timings = pipeline.process_image(synthetic_blobs(), cfg)
+    return data, cfg_used, timings
+
+
+def test_three_blobs_segmented(result):
+    data, _, _ = result
+    objects = data['postprocessed_objects']
+    assert len(objects) == 3
+    centers = sorted((tuple((o.fg_offset + np.array(o.fg_fragment.shape) / 2).round())
+                      for o in objects))
+    expected = sorted([(40, 40), (40, 66), (90, 90)])
+    for (r, c), (er, ec) in zip(centers, expected):
+        assert abs(r - er) <= 4 and abs(c - ec) <= 4
+
+
+def test_touching_blobs_split(result):
+    """The two touching blobs must land in one cluster but two objects."""
+    data, _, _ = result
+    clusters = data['clusters']
+    assert data['atoms'].max() >= 3
+    # touching pair shares a cluster
+    assert clusters[40, 40] == clusters[40, 66]
+    assert clusters[40, 40] != clusters[90, 90]
+
+
+def test_pipeline_outputs_present(result):
+    data, _, timings = result
+    for key in ('g_raw', 'y', 'dsm_cfg', 'y_mask', 'atoms', 'adjacencies',
+                'seeds', 'clusters', 'y_img', 'cover', 'objects',
+                'performance', 'postprocessed_objects'):
+        assert key in data, key
+    assert set(timings.keys()) == {'preprocess', 'dsm', 'c2f-region-analysis',
+                                   'global-energy-minimization', 'postprocess'}
+
+
+def test_partial_execution(result):
+    data, _, _ = result
+    pipeline = create_default_pipeline()
+    cfg = Config()
+    cfg['c2f-region-analysis/min_atom_radius'] = 6
+    cfg['global-energy-minimization/beta'] = 0.5
+    partial, _, _ = pipeline.process_image(synthetic_blobs(), cfg,
+                                           last_stage='c2f-region-analysis')
+    assert 'atoms' in partial and 'cover' not in partial
+    resumed, _, _ = pipeline.process_image(
+        synthetic_blobs(), cfg, first_stage='global-energy-minimization', data=partial)
+    assert len(resumed['postprocessed_objects']) == len(data['postprocessed_objects'])
+
+
+def test_empty_image():
+    pipeline = create_default_pipeline()
+    data, _, _ = pipeline.process_image(
+        np.random.RandomState(1).randn(60, 60).astype(np.float32) * 0.01 + 0.5,
+        Config())
+    assert data['postprocessed_objects'] == []
+
+
+def test_create_pipeline_orders_stages():
+    class A(Stage):
+        def __init__(self):
+            super().__init__('a', inputs=['g_raw'], outputs=['x'])
+
+    class B(Stage):
+        def __init__(self):
+            super().__init__('b', inputs=['x'], outputs=['z'])
+
+    pipeline = create_pipeline([B(), A()])
+    assert [s.name for s in pipeline.stages] == ['a', 'b']
+
+    class C(Stage):
+        def __init__(self):
+            super().__init__('c', inputs=['missing'], outputs=[])
+
+    with pytest.raises(ValueError):
+        create_pipeline([A(), C()])
+
+
+def test_stage_disabled():
+    pipeline = create_default_pipeline()
+    cfg = Config()
+    cfg['postprocess/enabled'] = False
+    data, _, timings = pipeline.process_image(synthetic_blobs(), cfg)
+    assert 'postprocessed_objects' not in data
+    assert timings['postprocess'] == 0

@@ -1,0 +1,166 @@
+"""Numerical tests of the batched DSM solver.
+
+Validates the energy/gradient/Hessian semantics of
+``/root/reference/superdsm/dsm.py:253-385`` against independent NumPy
+implementations and JAX autodiff, and the solver's segmentation behavior on
+synthetic shapes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from superdsm_tpu.dsm.solver import (
+    _poly_basis, _energy_from_surface, _surface, _grad_hess,
+    solve_polynomial_batch, solve_dsm_batch)
+from superdsm_tpu.dsm.smooth import (
+    build_smooth_matrix, subsample_grid, _subsample_grid_py, prepare_deformation,
+    smooth_matrix_params)
+from superdsm_tpu.dsm.batching import Problem, solve_problems, make_problem
+from superdsm_tpu.image import Image
+
+
+def _reference_energy(params, Q, G, yv, w, alpha, epsilon):
+    """Independent NumPy implementation of ψ (softplus data term + smooth L1)."""
+    s = Q @ params[:6]
+    if G is not None:
+        s = s + G @ params[6:]
+    data = np.sum(w * np.logaddexp(0.0, -yv * s))
+    reg = 0.0
+    if G is not None and len(params) > 6:
+        xi = params[6:]
+        reg = alpha * np.sum(np.sqrt(xi ** 2 + epsilon) - np.sqrt(epsilon))
+    return data + reg
+
+
+def test_energy_matches_reference_formula():
+    rng = np.random.RandomState(0)
+    P, K = 50, 4
+    coords = rng.rand(P, 2).astype(np.float32)
+    Q = np.asarray(_poly_basis(jnp.asarray(coords)))
+    G = rng.rand(P, K).astype(np.float32)
+    yv = rng.randn(P).astype(np.float32)
+    w = np.ones(P, np.float32)
+    params = rng.randn(6 + K).astype(np.float32) * 0.1
+    alpha, epsilon = 0.5, 1.0
+    kmask = np.ones(K, np.float32)
+
+    s = _surface(jnp.asarray(params), jnp.asarray(Q), jnp.asarray(G), jnp.asarray(kmask))
+    actual = float(_energy_from_surface(s, jnp.asarray(params[6:]), jnp.asarray(yv),
+                                        jnp.asarray(w), alpha, epsilon, jnp.asarray(kmask)))
+    expected = _reference_energy(params, Q, G, yv, w, alpha, epsilon)
+    np.testing.assert_allclose(actual, expected, rtol=1e-5)
+
+
+def test_grad_hess_match_autodiff():
+    rng = np.random.RandomState(1)
+    P, K = 40, 3
+    coords = jnp.asarray(rng.rand(P, 2), jnp.float32)
+    Q = _poly_basis(coords)
+    G = jnp.asarray(rng.rand(P, K), jnp.float32)
+    yv = jnp.asarray(rng.randn(P), jnp.float32)
+    w = jnp.ones(P, jnp.float32)
+    params = jnp.asarray(rng.randn(6 + K) * 0.1, jnp.float32)
+    alpha, epsilon = 0.5, 1.0
+    kmask = jnp.ones(K, jnp.float32)
+
+    def f(p):
+        s = _surface(p, Q, G, kmask)
+        return _energy_from_surface(s, p[6:], yv, w, alpha, epsilon, kmask)
+
+    g_auto = jax.grad(f)(params)
+    H_auto = jax.hessian(f)(params)
+    s = _surface(params, Q, G, kmask)
+    g, H = _grad_hess(params, s, Q, G, yv, w, alpha, epsilon, kmask)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_auto), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(H), np.asarray(H_auto), rtol=1e-3, atol=1e-4)
+
+
+def test_elliptical_solve_segments_disk():
+    H, W = 40, 40
+    rr, cc = np.indices((H, W))
+    y = (((rr - 20) ** 2 + (cc - 20) ** 2) < 100).astype(np.float32) - 0.5
+    pts = np.argwhere(np.ones((H, W), bool)).astype(np.float32)
+    coords = (pts / np.array([H - 1, W - 1], np.float32))[None]
+    r = solve_polynomial_batch(coords, y.reshape(1, -1), np.ones((1, H * W), np.float32))
+    assert r.converged.all()
+    fg = (r.surface[0] > 0).reshape(H, W)
+    true = y > 0
+    iou = (fg & true).sum() / (fg | true).sum()
+    assert iou > 0.98
+
+
+def test_padding_invariance():
+    """Padded pixels (w=0) must not influence the solution."""
+    rng = np.random.RandomState(2)
+    H, W = 20, 20
+    rr, cc = np.indices((H, W))
+    y = (((rr - 10) ** 2 + (cc - 10) ** 2) < 36).astype(np.float32) - 0.5
+    y += rng.randn(H, W).astype(np.float32) * 0.3  # non-separable => unique optimum
+    pts = np.argwhere(np.ones((H, W), bool)).astype(np.float32)
+    coords = pts / np.array([H - 1, W - 1], np.float32)
+    P = H * W
+    pad = 137
+    C1 = coords[None]
+    C2 = np.concatenate([coords, rng.rand(pad, 2).astype(np.float32)])[None]
+    Y1 = y.reshape(1, -1)
+    Y2 = np.concatenate([y.reshape(-1), rng.randn(pad).astype(np.float32)])[None]
+    W1 = np.ones((1, P), np.float32)
+    W2 = np.concatenate([np.ones(P), np.zeros(pad)]).astype(np.float32)[None]
+    r1 = solve_polynomial_batch(C1, Y1, W1)
+    r2 = solve_polynomial_batch(C2, Y2, W2)
+    np.testing.assert_allclose(r1.energy, r2.energy, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(r1.params, r2.params, rtol=1e-2, atol=1e-3)
+
+
+def test_smooth_matrix_row_normalized():
+    rng = np.random.RandomState(3)
+    pix = rng.randint(0, 30, (64, 2))
+    sub = pix[::7]
+    Gm = np.asarray(build_smooth_matrix(pix, sub, sigma=5.0, cutoff=20))
+    np.testing.assert_allclose(Gm.sum(axis=1), 1.0, rtol=1e-5)
+    assert (Gm >= 0).all()
+
+
+def test_subsample_grid_coverage():
+    rng = np.random.RandomState(4)
+    mask = np.zeros((50, 50), bool)
+    mask[5:45, 10:40] = True
+    mask[rng.rand(50, 50) < 0.1] = False
+    stride = 8
+    grid = subsample_grid(mask, stride)
+    grid_py = _subsample_grid_py(mask, stride)
+    # coverage: every mask pixel within chessboard distance < stride of a point
+    pts = np.argwhere(grid)
+    assert grid[~mask].sum() == 0
+    mm = np.argwhere(mask)
+    cheb = np.abs(mm[:, None, :] - pts[None, :, :]).max(-1).min(1)
+    assert (cheb < stride).all()
+    # native and python paths agree
+    np.testing.assert_array_equal(grid, grid_py)
+
+
+def test_full_dsm_solve_deforms():
+    """Deformations must lower the energy of a non-elliptical (L-shaped) target."""
+    H, W = 48, 48
+    rr, cc = np.indices((H, W))
+    lmask = ((rr > 8) & (rr < 40) & (cc > 8) & (cc < 24)) | \
+            ((rr > 26) & (rr < 40) & (cc > 8) & (cc < 40))
+    y = lmask.astype(np.float32) - 0.5
+    region = Image(model=y)
+    prob = make_problem(region, smooth_amount=4, smooth_subsample=6)
+    assert prob.n_deform > 0
+    res_ell = solve_problems([prob], smooth_amount=np.inf)[0]
+    res_dsm = solve_problems([prob], alpha=0.05, smooth_amount=4)[0]
+    assert res_dsm.energy <= res_ell.energy + 1e-3
+    fg = np.zeros((H, W), bool)
+    fg[prob.pts[:, 0], prob.pts[:, 1]] = res_dsm.surface > 0
+    iou = (fg & lmask).sum() / (fg | lmask).sum()
+    assert iou > 0.9
+
+
+def test_smooth_matrix_params():
+    S, R = smooth_matrix_params(10, 2)
+    assert S == 81 and R == 40
+    assert smooth_matrix_params(np.inf, 2) == (0, 0)
