@@ -18,3 +18,5 @@ Public surface (mirrors the reference package layout):
 from .version import VERSION as __version__  # noqa: F401
 from .pipeline import Pipeline, Stage, create_pipeline, create_default_pipeline  # noqa: F401
 from .config import Config  # noqa: F401
+from . import automation  # noqa: F401
+from . import io  # noqa: F401
