@@ -1,0 +1,86 @@
+"""Benchmark: full-pipeline seconds/image on a BBBC039-like synthetic field.
+
+Prints ONE JSON line: ``{"metric", "value", "unit", "vs_baseline"}``.
+
+The reference publishes no absolute numbers (BASELINE.md); the north-star
+target from BASELINE.json is "full BBBC039 image segmented in < 2 s p50 on
+one v5e chip". BBBC039 images are 520x696 U2OS nuclei fields; without
+dataset egress the benchmark uses a synthetic field of comparable size,
+density, and clustering (touching nuclei force multi-atom clusters, which
+exercise the generation loop — the dominant cost). ``vs_baseline`` is
+``2.0 / p50_seconds`` (>1 means faster than the target).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_image(seed, H=520, W=696, n_nuclei=28, radius=16):
+    """Synthetic fluorescence nuclei field with touching pairs."""
+    rng = np.random.RandomState(seed)
+    g = np.zeros((H, W), np.float32)
+    rr, cc = np.indices((H, W))
+    centers = []
+    attempts = 0
+    while len(centers) < n_nuclei and attempts < 2000:
+        attempts += 1
+        r0 = rng.randint(radius, H - radius)
+        c0 = rng.randint(radius, W - radius)
+        # allow some touching pairs (min separation 1.4 r instead of 2.5 r)
+        if all((r0 - r) ** 2 + (c0 - c) ** 2 > (1.4 * radius) ** 2 for r, c in centers):
+            centers.append((r0, c0))
+    for (r0, c0) in centers:
+        rad = radius * rng.uniform(0.8, 1.2)
+        ecc = rng.uniform(0.8, 1.25)
+        g += rng.uniform(0.7, 1.0) * np.exp(
+            -(((rr - r0) / ecc) ** 2 + ((cc - c0) * ecc) ** 2) / (2 * (rad * 0.55) ** 2))
+    g += rng.randn(H, W).astype(np.float32) * 0.02
+    return g.astype(np.float32), len(centers)
+
+
+def main():
+    from superdsm_tpu.pipeline import create_default_pipeline
+    from superdsm_tpu.automation import process_image
+    from superdsm_tpu.config import Config
+    from superdsm_tpu.output import get_output
+
+    pipeline = create_default_pipeline()
+    base_cfg = Config({'AF_scale': 12})
+    out = get_output(None).derive(muted=True)
+
+    n_images = int(os.environ.get('SDSM_BENCH_IMAGES', 3))
+    # warmup image triggers all bucket-shape compiles
+    g_warm, _ = make_image(999)
+    t0 = time.time()
+    process_image(pipeline, base_cfg, g_warm, out=out)
+    warmup_s = time.time() - t0
+
+    times = []
+    total_objects = 0
+    for seed in range(n_images):
+        g, n_true = make_image(seed)
+        t0 = time.time()
+        data, _, _ = process_image(pipeline, base_cfg, g, out=out)
+        times.append(time.time() - t0)
+        total_objects += len(data['postprocessed_objects'])
+
+    p50 = float(np.median(times))
+    result = {
+        'metric': 'bbbc039like_sec_per_image_p50',
+        'value': round(p50, 3),
+        'unit': 's',
+        'vs_baseline': round(2.0 / p50, 3),
+    }
+    print(json.dumps(result))
+    print(f'# warmup {warmup_s:.1f}s; times {["%.2f" % t for t in times]}; '
+          f'objects/image ~{total_objects / max(1, n_images):.1f}', file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

@@ -15,6 +15,24 @@ Public surface (mirrors the reference package layout):
 - :mod:`superdsm_tpu.render` / :mod:`superdsm_tpu.export` — visualization
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: compiles of the padded bucket shapes are
+# expensive (minutes per shape via remote-compile TPU tunnels), but stable
+# across processes. Cached next to the package unless overridden.
+if _os.environ.get('SDSM_DISABLE_COMPILATION_CACHE') != '1':
+    try:
+        import jax as _jax
+        _cache_dir = _os.environ.get(
+            'SDSM_COMPILATION_CACHE',
+            _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                          '.jax_cache'))
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update('jax_compilation_cache_dir', _cache_dir)
+        _jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
 from .version import VERSION as __version__  # noqa: F401
 from .pipeline import Pipeline, Stage, create_pipeline, create_default_pipeline  # noqa: F401
 from .config import Config  # noqa: F401

@@ -1,0 +1,100 @@
+"""End-to-end tests of the batch system (task.json tree, digests, pickup)."""
+
+import json
+import gzip
+import pathlib
+
+import dill
+import numpy as np
+import pytest
+
+from superdsm_tpu.batch import (Task, BatchLoader, run_cli, find_first_differing_stage,
+                                StatusReport)
+from superdsm_tpu.pipeline import create_default_pipeline
+from superdsm_tpu.io import imsave, imread
+
+
+@pytest.fixture(scope='module')
+def batch_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp('batchroot')
+    rng = np.random.RandomState(0)
+    rr, cc = np.indices((120, 120))
+    for i, centers in enumerate([[(40, 40, 14), (90, 90, 14)]]):
+        g = np.zeros((120, 120), np.float32)
+        for (r0, c0, rad) in centers:
+            g += np.exp(-(((rr - r0) ** 2 + (cc - c0) ** 2) / (2 * (rad * 0.6) ** 2)))
+        g += rng.randn(120, 120).astype(np.float32) * 0.01
+        imsave(str(root / f'img{i}.png'), g, normalize=True)
+    json.dump({'img_pathpattern': '{ROOTDIR}/img%d.png'},
+              (root / 'task.json').open('w'))
+    task_a = root / 'taskA'
+    task_a.mkdir()
+    json.dump({
+        'runnable': True,
+        'file_ids': [0],
+        'seg_pathpattern': 'seg/%d.png',
+        'cfg_pathpattern': 'cfg/%d.json',
+        'config': {'AF_scale': 10,
+                   'global-energy-minimization': {'beta': 0.5}},
+    }, (task_a / 'task.json').open('w'))
+    return root
+
+
+def test_batch_loader(batch_root):
+    loader = BatchLoader()
+    loader.load(str(batch_root))
+    assert len(loader.tasks) == 2
+    runnable = [t for t in loader.tasks if t.runnable]
+    assert len(runnable) == 1
+    assert runnable[0].file_ids == [0]
+
+
+def test_batch_run_and_skip(batch_root, capsys):
+    run_cli([str(batch_root), '--run', '--no-fork'])
+    task_a = batch_root / 'taskA'
+    assert (task_a / 'seg' / '0.png').exists()
+    assert (task_a / 'data.dill.gz').exists()
+    assert (task_a / '.digest').exists()
+    assert (task_a / 'timings.csv').exists()
+    assert (task_a / 'performance.csv').exists()
+    seg = imread(str(task_a / 'seg' / '0.png'))
+    assert len(np.unique(seg)) == 3  # bg + 2 objects
+    with gzip.open(task_a / 'data.dill.gz', 'rb') as fin:
+        data = dill.load(fin)
+    assert len(data[0]['postprocessed_objects']) == 2
+
+    # second run must skip via digest
+    run_cli([str(batch_root), '--run', '--no-fork'])
+    out = capsys.readouterr().out
+    assert 'Skipping task' in out
+
+
+def test_pickup_after_config_change(batch_root, capsys):
+    task_a = batch_root / 'taskA'
+    spec = json.load((task_a / 'task.json').open())
+    spec['config']['postprocess'] = {'max_eccentricity': 0.98}
+    json.dump(spec, (task_a / 'task.json').open('w'))
+    run_cli([str(batch_root), '--run', '--no-fork'])
+    out = capsys.readouterr().out
+    assert 'Picking up from' in out
+
+
+def test_find_first_differing_stage():
+    pipeline = create_default_pipeline()
+    c1 = {'preprocess': {'sigma2': 40}}
+    c2 = {'preprocess': {'sigma2': 41}}
+    assert find_first_differing_stage(pipeline, c1, c2) == 'preprocess'
+    assert find_first_differing_stage(pipeline, c1, dict(c1)) == ''
+    c3 = {'preprocess': {'sigma2': 40}, 'postprocess': {'min_contrast': 1.0}}
+    assert find_first_differing_stage(pipeline, c1, c3) == 'postprocess'
+    assert find_first_differing_stage(pipeline, {'AF_scale': 1}, {'AF_scale': 2}) == 'preprocess'
+
+
+def test_status_report(tmp_path):
+    class FakeTask:
+        path = pathlib.Path('/x/y')
+    report = StatusReport([FakeTask()], filepath=str(tmp_path / 'status'))
+    report.update(FakeTask(), 'pending')
+    report.update(FakeTask(), 0.5)
+    content = (tmp_path / 'status').read_text()
+    assert '-> /x/y (50%)' in content

@@ -1,0 +1,73 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh (conftest)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from superdsm_tpu.parallel import make_mesh
+from superdsm_tpu.parallel.newton import make_sharded_poly_solver, make_sharded_dsm_solver
+from superdsm_tpu.dsm.solver import solve_polynomial_batch
+
+
+@pytest.fixture(scope='module')
+def mesh():
+    assert len(jax.devices()) >= 8, 'conftest should provide 8 virtual devices'
+    return make_mesh(n_batch=4, n_pixel=2)
+
+
+def _problems(B=8, H=16, W=32, seed=0):
+    rng = np.random.RandomState(seed)
+    rr, cc = np.indices((H, W))
+    coords = np.stack([rr, cc], -1).reshape(-1, 2).astype(np.float32) \
+        / np.array([H - 1, W - 1], np.float32)
+    P = H * W
+    C = np.tile(coords[None], (B, 1, 1))
+    Y = np.zeros((B, P), np.float32)
+    for b in range(B):
+        r0, c0 = rng.randint(4, 12), rng.randint(8, 24)
+        Y[b] = ((((rr - r0) ** 2 + (cc - c0) ** 2) < 25).astype(np.float32) - 0.5).reshape(-1)
+        Y[b] += rng.randn(P).astype(np.float32) * 0.1
+    return C, Y, np.ones((B, P), np.float32)
+
+
+def test_sharded_poly_matches_single_device(mesh):
+    C, Y, W = _problems()
+    solver = make_sharded_poly_solver(mesh)
+    params, f, conv = jax.block_until_ready(
+        solver(jnp.zeros((8, 6), jnp.float32), C, Y, W))
+    ref = solve_polynomial_batch(C, Y, W)
+    assert np.asarray(conv).all()
+    np.testing.assert_allclose(np.asarray(f), ref.energy, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_dsm_improves_on_elliptical(mesh):
+    B = 8
+    C, Y, W = _problems(B=B)
+    H, Wd = 16, 32
+    rr, cc = np.indices((H, Wd))
+    pix = np.tile(np.stack([rr, cc], -1).reshape(-1, 2).astype(np.float32)[None],
+                  (B, 1, 1))
+    rng = np.random.RandomState(1)
+    K = 8
+    sub = rng.randint(0, 16, (B, K, 2)).astype(np.float32)
+    km = np.ones((B, K), np.float32)
+    poly = make_sharded_poly_solver(mesh)
+    p_ell, f_ell, _ = poly(jnp.zeros((B, 6), jnp.float32), C, Y, W)
+    dsm = make_sharded_dsm_solver(mesh, sigma=3.0, cutoff=12)
+    p0 = jnp.concatenate([p_ell, jnp.zeros((B, K), jnp.float32)], axis=1)
+    pd, fd, cd = jax.block_until_ready(
+        dsm(p0, C, pix, sub, km, Y, W, jnp.full((B,), 0.1, jnp.float32)))
+    assert (np.asarray(fd) <= np.asarray(f_ell) + 1e-3).all()
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_single():
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    params, f, conv = jax.block_until_ready(jax.jit(fn)(*args))
+    assert params.shape[0] == 4 and np.isfinite(np.asarray(f)).all()
