@@ -26,9 +26,9 @@ def mkdir(path):
 
 def is_subpath(path, subpath):
     """Checks whether ``subpath`` lies within ``path``."""
-    if isinstance(path, str):
-        path = [path]
-    path = os.path.join(*path)
+    if isinstance(path, str) or not isinstance(path, (list, tuple)):
+        path = [str(path)]
+    path = os.path.join(*[str(p) for p in path])
     path = os.path.abspath(path)
     subpath = os.path.abspath(str(subpath))
     return os.path.commonpath([path]) == os.path.commonpath([path, subpath])

@@ -32,7 +32,7 @@ DSM_CONFIG_DEFAULTS = {
     'background_margin': 20,
     'cp_timeout': 300,
     'newton_maxiter': 60,
-    'newton_tol': 1e-7,
+    'newton_tol': 1e-5,
 }
 
 

@@ -189,7 +189,9 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
         alpha=dsm_cfg.get('alpha', 0.5), epsilon=dsm_cfg.get('epsilon', 1.0),
         smooth_amount=smooth_amount,
         gaussian_shape_multiplier=dsm_cfg.get('gaussian_shape_multiplier', 2),
-        init=dsm_cfg.get('init', 'elliptical'), out=out,
+        init=dsm_cfg.get('init', 'elliptical'),
+        maxiter=dsm_cfg.get('newton_maxiter', 60),
+        tol=dsm_cfg.get('newton_tol', 1e-5), out=out,
         progress_line=status_line[0])
 
     dt = time.time() - t0
