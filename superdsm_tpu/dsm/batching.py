@@ -45,6 +45,11 @@ class Problem:
     :ivar sub: (K, 2) int32 subsample-point coordinates (empty = no
         deformations, the reference's NULL-matrix case).
     :ivar tag: caller-defined identifier.
+    :ivar init_params: Optional (6 + K,) warm-start parameters aligned with
+        ``sub`` (theta transfers between regions directly since coordinates
+        are normalized by the full-image shape). Problems with a warm start
+        skip the elliptical initialization pass; the LM solver is monotone,
+        so the result can only improve on the warm start.
     """
     pts: np.ndarray
     offset: np.ndarray
@@ -52,6 +57,7 @@ class Problem:
     yv: np.ndarray
     sub: np.ndarray
     tag: object = None
+    init_params: Optional[np.ndarray] = None
 
     @property
     def n_pixels(self):
@@ -147,12 +153,15 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
             C = np.zeros((Bp, pb, 2), np.float32)
             Y = np.zeros((Bp, pb), np.float32)
             Wt = np.zeros((Bp, pb), np.float32)
+            P0 = np.zeros((Bp, 6), np.float32)
             for j, i in enumerate(chunk):
                 p = problems[i]
                 C[j, :p.n_pixels] = p.norm_coords()
                 Y[j, :p.n_pixels] = p.yv
                 Wt[j, :p.n_pixels] = 1.0
-            r = solve_polynomial_batch(C, Y, Wt, maxiter=maxiter, tol=tol)
+                if p.init_params is not None:
+                    P0[j] = p.init_params[:6]
+            r = solve_polynomial_batch(C, Y, Wt, params0=P0, maxiter=maxiter, tol=tol)
             for j, i in enumerate(chunk):
                 p = problems[i]
                 phase1_params[i] = r.params[j]
@@ -200,7 +209,9 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                 KM[j, :k] = 1.0
                 Y[j, :n] = p.yv
                 Wt[j, :n] = 1.0
-                if init == 'elliptical':
+                if p.init_params is not None:
+                    P0[j, :6 + k] = p.init_params
+                elif init == 'elliptical':
                     P0[j, :6] = phase1_params[i]
                 # place padded subsample points far away so they cannot fall
                 # into the support window of real pixels

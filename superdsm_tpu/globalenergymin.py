@@ -343,6 +343,7 @@ def _process_generation(cover, objects, previous_generation, y, atoms_map,
 
         new_object = Object()
         new_object.footprint = new_object_footprint
+        new_object.init_from = obj  # warm-start from the parent's solution
 
         if pruning == 'exact':
             remaining_atoms = adjacencies.get_atoms_in_cluster(cluster_label) - new_object_footprint

@@ -118,6 +118,34 @@ class CvxprogError(Exception):
 DEFAULT_COMPUTING_STATUS_LINE = ('Computing objects', 'Computed objects')
 
 
+def _warm_start_params(obj, problem):
+    """Warm-start vector for ``problem`` from ``obj.init_from``'s solution.
+
+    The generation loop grows footprints by one atom
+    (:mod:`superdsm_tpu.globalenergymin`); the parent's optimum is an
+    excellent start for the child's convex program. ``theta`` transfers
+    directly (coordinates are normalized by the full-image shape); ``xi``
+    entries are matched by absolute subsample-point coordinates, new points
+    start at zero. Returns ``None`` if no usable parent solution exists.
+    """
+    parent = getattr(obj, 'init_from', None)
+    if parent is None:
+        return None
+    params = getattr(parent, '_dsm_params', None)
+    if params is None:
+        return None
+    init = np.zeros(6 + problem.n_deform, np.float32)
+    init[:6] = params[:6]
+    parent_sub = getattr(parent, '_dsm_sub_abs', None)
+    if parent_sub is not None and len(parent_sub) and len(params) > 6:
+        xi_by_coord = {(int(r), int(c)): params[6 + k]
+                       for k, (r, c) in enumerate(parent_sub)}
+        child_abs = problem.sub + np.asarray(problem.offset)[None, :]
+        for k, (r, c) in enumerate(child_abs):
+            init[6 + k] = xi_by_coord.get((int(r), int(c)), 0.0)
+    return init
+
+
 def _border_ring_coords(shape):
     """Normalized coordinates of the 1-pixel ring just outside the image.
 
@@ -177,11 +205,13 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
             obj.is_optimal = False
             obj.processing_time = 0
             continue
-        problems.append(make_problem(
+        problem = make_problem(
             region, img_shape=y.model.shape,
             smooth_amount=smooth_amount,
             gaussian_shape_multiplier=dsm_cfg.get('gaussian_shape_multiplier', 2),
-            smooth_subsample=dsm_cfg.get('smooth_subsample', 20), tag=idx))
+            smooth_subsample=dsm_cfg.get('smooth_subsample', 20), tag=idx)
+        problem.init_params = _warm_start_params(obj, problem)
+        problems.append(problem)
         problem_obj_idx.append(idx)
 
     results = solve_problems(
@@ -215,6 +245,12 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
         obj.energy = res.energy
         obj.is_optimal = (res.status == 'optimal')
         obj.processing_time = per_obj_time
+        # retain the solution for warm-starting objects grown from this one
+        # (footprint + one atom); theta transfers directly, xi by absolute
+        # subsample-point coordinates
+        obj._dsm_params = res.params
+        obj._dsm_sub_abs = prob.sub + np.asarray(prob.offset)[None, :] \
+            if prob.n_deform else np.zeros((0, 2), np.int32)
         if res.status == 'fallback':
             fallbacks += 1
 
