@@ -28,9 +28,9 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 #: Hard iteration caps (the reference instead relies on a 300 s SIGALRM
 #: timeout per solve, ``/root/reference/superdsm/dsm.py:478-490``).
-DEFAULT_MAXITER = 60
+DEFAULT_MAXITER = 30
 DEFAULT_TOL = 1e-5
-LS_STEPS = 20  # candidate step sizes 2^0 .. 2^-(LS_STEPS-1)
+LS_STEPS = 12  # candidate step sizes 2^0 .. 2^-(LS_STEPS-1)
 ARMIJO_C = 1e-4
 
 
@@ -62,30 +62,47 @@ def _surface(params, Q, G, kmask):
     return s
 
 
-def _grad_hess(params, s, Q, G, yv, w, alpha, epsilon, kmask):
-    """Gradient and Hessian of ψ at ``params`` (per problem)."""
-    t = yv * s
-    sig = jax.nn.sigmoid(-t)          # = theta-hat
-    term1 = -yv * sig * w             # dψ/ds per pixel
-    kappa = w * yv * yv * sig * (1.0 - sig)  # d²ψ/ds² per pixel
+def _features(Q, G):
+    """Single feature matrix Bf = [Q | G] (G columns of padded dims are
+    already zeroed by ``build_smooth_matrix``), precomputed once per solve so
+    the Newton loop never re-materializes the (P, 6+K) tensor."""
+    if G is None:
+        return Q
+    return jnp.concatenate([Q, G], axis=1)
 
-    g6 = jnp.dot(Q.T, term1, precision=HIGHEST)
-    if G is not None:
-        xi = params[6:]
-        term2 = jnp.sqrt(xi * xi + epsilon)
-        gK = jnp.dot(G.T, term1, precision=HIGHEST) + alpha * (xi / term2) * kmask
-        gK = gK * kmask
-        g = jnp.concatenate([g6, gK])
-        B = jnp.concatenate([Q, G], axis=1)
-        Bw = B * kappa[:, None]
-        H = jnp.dot(B.T, Bw, precision=HIGHEST)
-        hdiag = alpha * (1.0 / term2 - (xi * xi) / (term2 ** 3))
-        hdiag = jnp.maximum(hdiag, 0.0) * kmask + (1.0 - kmask)
-        H = H + jnp.diag(jnp.concatenate([jnp.zeros(6, H.dtype), hdiag]))
-    else:
-        g = g6
-        Qw = Q * kappa[:, None]
-        H = jnp.dot(Q.T, Qw, precision=HIGHEST)
+
+def _reg_terms(params, alpha, epsilon, kmask):
+    """Smooth-L1 deformation regularizer: value, gradient, Hessian diagonal."""
+    n = params.shape[0]
+    if n <= 6:
+        z = jnp.zeros(n, params.dtype)
+        return jnp.float32(0.0), z, z
+    xi = params[6:]
+    term2 = jnp.sqrt(xi * xi + epsilon)
+    val = jnp.maximum(alpha * jnp.sum(kmask * (term2 - jnp.sqrt(epsilon))), 0.0)
+    grad = jnp.concatenate([jnp.zeros(6, params.dtype),
+                            alpha * (xi / term2) * kmask])
+    hdiag = alpha * (1.0 / term2 - (xi * xi) / (term2 ** 3))
+    hdiag = jnp.concatenate([jnp.zeros(6, params.dtype),
+                             jnp.maximum(hdiag, 0.0) * kmask + (1.0 - kmask)])
+    return val, grad, hdiag
+
+
+def _grad_hess(params, s, Q, G, yv, w, alpha, epsilon, kmask):
+    """Analytic gradient and Hessian of psi at ``params`` (reference form,
+    used by the numerical tests; the Newton loop uses the fused
+    feature-matrix version inside :func:`_newton_step`)."""
+    t = yv * s
+    sig = jax.nn.sigmoid(-t)
+    term1 = -yv * sig * w
+    kappa = w * yv * yv * sig * (1.0 - sig)
+    Bf = _features(Q, G if G is None else G * kmask[None, :])
+    g = jnp.dot(Bf.T, term1, precision=HIGHEST)
+    H = jnp.einsum('pi,p,pj->ij', Bf, kappa, Bf, precision=HIGHEST)
+    if params.shape[0] > 6:
+        reg, reg_g, reg_h = _reg_terms(params, alpha, epsilon, kmask)
+        g = (g + reg_g) * jnp.concatenate([jnp.ones(6, params.dtype), kmask])
+        H = H + jnp.diag(reg_h)
     return g, H
 
 
@@ -93,19 +110,29 @@ MU_MIN = 1e-10
 MU_MAX = 1e6
 
 
-def _newton_step(params, mu, Q, G, yv, w, alpha, epsilon, kmask, tol):
+def _newton_step(params, mu, s, f0, Bf, yv, w, alpha, epsilon, kmask, tol):
     """One Levenberg-Marquardt-damped Newton iteration.
 
     The Gauss-Newton Hessian of the logistic term is near-singular along
     directions whose pixels are well classified (kappa -> 0), so a fixed tiny
     damping plus Armijo backtracking converges only linearly there. ``mu`` is
     a per-problem relative damping factor: decreased after accepted steps,
-    increased when no candidate step improves the energy.
+    increased when no line-search step improves the energy. The surface ``s``
+    and energy ``f0`` are carried between iterations (the surface is affine
+    in the parameters), saving one (P, n) matvec per iteration.
     """
     n = params.shape[0]
-    s = _surface(params, Q, G, kmask)
-    f0 = _energy_from_surface(s, params[6:], yv, w, alpha, epsilon, kmask)
-    g, H = _grad_hess(params, s, Q, G, yv, w, alpha, epsilon, kmask)
+    t = yv * s
+    sig = jax.nn.sigmoid(-t)
+    term1 = -yv * sig * w
+    kappa = w * yv * yv * sig * (1.0 - sig)
+
+    g = jnp.dot(Bf.T, term1, precision=HIGHEST)
+    H = jnp.einsum('pi,p,pj->ij', Bf, kappa, Bf, precision=HIGHEST)
+    if n > 6:
+        reg, reg_g, reg_h = _reg_terms(params, alpha, epsilon, kmask)
+        g = (g + reg_g) * jnp.concatenate([jnp.ones(6, params.dtype), kmask])
+        H = H + jnp.diag(reg_h)
 
     scale_h = jnp.trace(H) / n + 1e-12
     Hd = H + (mu * scale_h) * jnp.eye(n, dtype=H.dtype)
@@ -118,12 +145,12 @@ def _newton_step(params, mu, Q, G, yv, w, alpha, epsilon, kmask, tol):
     decrement = -jnp.dot(g, delta)  # lambda^2 >= 0 for the Newton step
 
     # line search: s is affine in params, so one matvec covers all steps
-    u = _surface(delta, Q, G, kmask)
+    u = jnp.dot(Bf, delta, precision=HIGHEST)
     steps = 0.5 ** jnp.arange(LS_STEPS, dtype=params.dtype)  # (S,)
     s_cand = s[:, None] + u[:, None] * steps[None, :]        # (P, S)
     t_cand = yv[:, None] * s_cand
     data_cand = jnp.sum(w[:, None] * jax.nn.softplus(-t_cand), axis=0)  # (S,)
-    if G is not None:
+    if n > 6:
         xi_cand = params[6:, None] + delta[6:, None] * steps[None, :]   # (K, S)
         term2c = jnp.sqrt(xi_cand * xi_cand + epsilon)
         reg_cand = alpha * jnp.sum(kmask[:, None] * (term2c - jnp.sqrt(epsilon)), axis=0)
@@ -142,6 +169,8 @@ def _newton_step(params, mu, Q, G, yv, w, alpha, epsilon, kmask, tol):
     full_step = improved & (pick == 0)
 
     new_params = params + t_step * delta
+    new_s = s + t_step * u
+    new_f = jnp.where(improved, f_cand[pick], f0)
     new_mu = jnp.where(full_step, jnp.maximum(mu * 0.25, MU_MIN),
                        jnp.where(improved, mu, jnp.minimum(mu * 8.0, MU_MAX)))
     # the Newton decrement only estimates the optimality gap when the system
@@ -149,44 +178,42 @@ def _newton_step(params, mu, Q, G, yv, w, alpha, epsilon, kmask, tol):
     # decrement) shrinks regardless of the distance to the optimum
     converged = ((0.5 * decrement <= tol * (1.0 + jnp.abs(f0))) & (mu <= 1e-4)) | \
                 ((~improved) & (mu >= MU_MAX))
-    return new_params, f_cand[pick], converged, new_mu
+    return new_params, new_s, new_f, converged, new_mu
 
 
 def _solve_batch_impl(params0, Q, G, yv, w, alpha, epsilon, kmask, maxiter, tol):
     """Batch Newton driver: while_loop with per-problem freeze."""
     B = params0.shape[0]
-    step = jax.vmap(_newton_step, in_axes=(0, 0, 0, 0 if G is not None else None,
-                                           0, 0, 0, None, 0, None))
+    Bf = jax.vmap(_features, in_axes=(0, 0 if G is not None else None))(Q, G)
+    step = jax.vmap(_newton_step,
+                    in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, 0, None))
 
     def cond(state):
-        it, params, conv, fval, mu = state
+        it, params, conv, fval, mu, s = state
         return (it < maxiter) & (~jnp.all(conv))
 
     def body(state):
-        it, params, conv, fval, mu = state
-        new_params, new_f, new_conv, new_mu = step(params, mu, Q, G, yv, w,
-                                                   alpha, epsilon, kmask, tol)
+        it, params, conv, fval, mu, s = state
+        new_params, new_s, new_f, new_conv, new_mu = step(
+            params, mu, s, fval, Bf, yv, w, alpha, epsilon, kmask, tol)
         params = jnp.where(conv[:, None], params, new_params)
+        s = jnp.where(conv[:, None], s, new_s)
         fval = jnp.where(conv, fval, new_f)
         mu = jnp.where(conv, mu, new_mu)
         conv = conv | new_conv
-        return it + 1, params, conv, fval, mu
+        return it + 1, params, conv, fval, mu, s
 
-    f0 = jax.vmap(lambda p, q, g, y, ww, a, km:
-                  _energy_from_surface(_surface(p, q, g, km), p[6:], y, ww, a, epsilon, km),
-                  in_axes=(0, 0, 0 if G is not None else None, 0, 0, 0, 0))(
-        params0, Q, G, yv, w, alpha, kmask)
+    s0 = jnp.einsum('bpi,bi->bp', Bf, params0, precision=HIGHEST)
+    f0 = jax.vmap(_energy_from_surface, in_axes=(0, 0, 0, 0, 0, None, 0))(
+        s0, params0[:, 6:], yv, w, alpha, epsilon, kmask)
     state = (jnp.int32(0), params0, jnp.zeros(B, bool), f0,
-             jnp.full(B, 1e-6, params0.dtype))
-    it, params, conv, fval, mu = jax.lax.while_loop(cond, body, state)
+             jnp.full(B, 1e-6, params0.dtype), s0)
+    it, params, conv, fval, mu, s = jax.lax.while_loop(cond, body, state)
 
-    # exact final energies at the solution
-    f_final = jax.vmap(lambda p, q, g, y, ww, a, km:
-                       _energy_from_surface(_surface(p, q, g, km), p[6:], y, ww, a, epsilon, km),
-                       in_axes=(0, 0, 0 if G is not None else None, 0, 0, 0, 0))(
-        params, Q, G, yv, w, alpha, kmask)
-    s_final = jax.vmap(lambda p, q, g, km: _surface(p, q, g, km),
-                       in_axes=(0, 0, 0 if G is not None else None, 0))(params, Q, G, kmask)
+    # exact final energies and surfaces at the solution
+    s_final = jnp.einsum('bpi,bi->bp', Bf, params, precision=HIGHEST)
+    f_final = jax.vmap(_energy_from_surface, in_axes=(0, 0, 0, 0, 0, None, 0))(
+        s_final, params[:, 6:], yv, w, alpha, epsilon, kmask)
     return params, f_final, conv, it, s_final
 
 
