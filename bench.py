@@ -55,9 +55,12 @@ def main():
     out = get_output(None).derive(muted=True)
 
     n_images = int(os.environ.get('SDSM_BENCH_IMAGES', 3))
-    # warmup image triggers all bucket-shape compiles
-    g_warm, _ = make_image(999)
+    # pre-compile the solver shape buckets (threaded), then run one warmup
+    # image to cover the remaining programs (preprocessing, renders)
+    from superdsm_tpu.dsm.batching import warmup
     t0 = time.time()
+    warmup()
+    g_warm, _ = make_image(999)
     process_image(pipeline, base_cfg, g_warm, out=out)
     warmup_s = time.time() - t0
 

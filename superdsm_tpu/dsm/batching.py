@@ -18,13 +18,22 @@ from .solver import solve_polynomial_batch, solve_dsm_batch, DEFAULT_MAXITER, DE
 from .smooth import prepare_deformation, smooth_matrix_params
 
 #: Pixel-count buckets (padded shapes compile once each).
-P_BUCKETS = [512, 2048, 8192, 32768, 131072, 524288, 2097152]
+P_BUCKETS = [2048, 8192, 32768, 131072, 524288, 2097152]
 #: Deformation-dimension buckets.
 K_BUCKETS = [0, 32, 128, 512, 2048]
-#: Batch-size buckets.
-B_BUCKETS = [1, 4, 16, 64]
-#: Rough per-call element budget for the (B, P, K) smooth matrix.
-PIXEL_BUDGET = 400_000_000
+#: Batch-size cap per pixel bucket. Every compile costs minutes through
+#: remote-compile tunnels, so the batch dimension is pinned: each (program,
+#: P, K) combination admits exactly TWO shapes (B=1 for single-problem
+#: rounds, B=cap otherwise) instead of a ladder of batch sizes. On CPU
+#: (tests), padded batch compute is paid for real, so the caps stay small.
+B_CAP_TPU = {2048: 64, 8192: 64, 32768: 16, 131072: 4, 524288: 2, 2097152: 1}
+B_CAP_CPU = {2048: 8, 8192: 8, 32768: 4, 131072: 2, 524288: 1, 2097152: 1}
+
+
+def _b_cap(pb):
+    import jax
+    caps = B_CAP_CPU if jax.default_backend() == 'cpu' else B_CAP_TPU
+    return caps[pb]
 
 
 def _bucket(value, buckets):
@@ -32,6 +41,53 @@ def _bucket(value, buckets):
         if value <= b:
             return b
     raise ValueError(f'value {value} exceeds largest bucket {buckets[-1]}')
+
+
+def _batch_shape(n_problems, pb):
+    """Returns the padded batch size for ``n_problems`` problems of pixel
+    bucket ``pb`` — always the bucket's cap, so each (program, P, K)
+    combination has exactly ONE compiled shape. Padded batch compute is
+    bandwidth-cheap on TPU; compiles are minutes."""
+    return _b_cap(pb)
+
+
+def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(32, 128),
+           maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, sigma=4.0, cutoff=16,
+           threads=4):
+    """Pre-compiles the solver programs for the given shape buckets.
+
+    Compilation requests are issued from a thread pool so a remote compile
+    service can overlap them. Typical use: once per process before batch
+    processing (`bench.py`, long batch runs).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+    rng = np.random.RandomState(0)
+
+    def compile_poly(pb):
+        Bp = _b_cap(pb)
+        C = rng.rand(Bp, pb, 2).astype(np.float32)
+        solve_polynomial_batch(C, rng.randn(Bp, pb).astype(np.float32),
+                               np.ones((Bp, pb), np.float32),
+                               maxiter=maxiter, tol=tol)
+
+    def compile_dsm(pb, kb):
+        Bp = _b_cap(pb)
+        C = rng.rand(Bp, pb, 2).astype(np.float32)
+        solve_dsm_batch(C, (C * 50).astype(np.int32),
+                        rng.randint(0, 50, (Bp, kb, 2)).astype(np.int32),
+                        np.ones((Bp, kb), np.float32),
+                        rng.randn(Bp, pb).astype(np.float32),
+                        np.ones((Bp, pb), np.float32),
+                        np.zeros((Bp, 6 + kb), np.float32),
+                        np.full(Bp, 0.1, np.float32), 1.0,
+                        sigma=sigma, cutoff=cutoff, maxiter=maxiter, tol=tol)
+
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        futures = [pool.submit(compile_poly, pb) for pb in pixel_buckets]
+        futures += [pool.submit(compile_dsm, pb, kb)
+                    for pb in pixel_buckets for kb in k_buckets]
+        for fut in futures:
+            fut.result()
 
 
 @dataclass
@@ -146,10 +202,10 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
 
     done = 0
     for pb, idxs in sorted(groups.items()):
-        bmax = max(1, min(B_BUCKETS[-1], PIXEL_BUDGET // max(pb * 8, 1)))
+        bmax = _b_cap(pb)
         for chunk_start in range(0, len(idxs), bmax):
             chunk = idxs[chunk_start: chunk_start + bmax]
-            Bp = _bucket(len(chunk), B_BUCKETS)
+            Bp = _batch_shape(len(chunk), pb)
             C = np.zeros((Bp, pb, 2), np.float32)
             Y = np.zeros((Bp, pb), np.float32)
             Wt = np.zeros((Bp, pb), np.float32)
@@ -189,10 +245,10 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
     total2 = sum(len(v) for v in groups2.values())
     for (pb, kb), idxs in sorted(groups2.items()):
         idxs.sort(key=lambda i: problems[i].n_pixels)
-        bmax = max(1, min(B_BUCKETS[-1], PIXEL_BUDGET // max(pb * (kb + 8), 1)))
+        bmax = _b_cap(pb)
         for chunk_start in range(0, len(idxs), bmax):
             chunk = idxs[chunk_start: chunk_start + bmax]
-            Bp = _bucket(len(chunk), B_BUCKETS)
+            Bp = _batch_shape(len(chunk), pb)
             C = np.zeros((Bp, pb, 2), np.float32)
             PIX = np.zeros((Bp, pb, 2), np.int32)
             SUB = np.zeros((Bp, kb, 2), np.int32)
