@@ -65,22 +65,29 @@ def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(32, 128),
 
     def compile_poly(pb):
         Bp = _b_cap(pb)
-        C = rng.rand(Bp, pb, 2).astype(np.float32)
-        solve_polynomial_batch(C, rng.randn(Bp, pb).astype(np.float32),
-                               np.ones((Bp, pb), np.float32),
-                               maxiter=maxiter, tol=tol)
+        probs = [Problem(pts=rng.randint(0, 50, (pb, 2)).astype(np.int32),
+                         offset=np.zeros(2, np.int32), img_shape=(64, 64),
+                         yv=rng.randn(pb).astype(np.float32),
+                         sub=np.zeros((0, 2), np.int32))
+                 for _ in range(2)]
+        from .solver import pack_and_solve_poly
+        pack_and_solve_poly(probs, (64, 64), params0=[None, None],
+                            maxiter=maxiter, tol=tol, pb=pb, Bp=Bp)
 
     def compile_dsm(pb, kb):
+        from .solver import _solve_dsm_packed
         Bp = _b_cap(pb)
-        C = rng.rand(Bp, pb, 2).astype(np.float32)
-        solve_dsm_batch(C, (C * 50).astype(np.int32),
-                        rng.randint(0, 50, (Bp, kb, 2)).astype(np.int32),
-                        np.ones((Bp, kb), np.float32),
-                        rng.randn(Bp, pb).astype(np.float32),
-                        np.ones((Bp, pb), np.float32),
-                        np.zeros((Bp, 6 + kb), np.float32),
-                        np.full(Bp, 0.1, np.float32), 1.0,
-                        sigma=sigma, cutoff=cutoff, maxiter=maxiter, tol=tol)
+        PIXa = rng.randint(0, 50, (Bp, pb, 2)).astype(np.int16)
+        _solve_dsm_packed(PIXa, np.zeros((Bp, 2), np.int32),
+                          np.full(Bp, pb, np.int32),
+                          rng.randn(Bp, pb).astype(np.float16),
+                          np.array([63.0, 63.0], np.float32),
+                          rng.randint(0, 50, (Bp, kb, 2)).astype(np.int16),
+                          np.ones((Bp, kb), np.float32),
+                          np.zeros((Bp, 6 + kb), np.float32),
+                          np.zeros(Bp, bool),
+                          np.full(Bp, 0.1, np.float32), 1.0,
+                          int(maxiter), float(tol), float(sigma), int(cutoff))
 
     with ThreadPoolExecutor(max_workers=threads) as pool:
         futures = [pool.submit(compile_poly, pb) for pb in pixel_buckets]
@@ -131,10 +138,11 @@ class Problem:
 @dataclass
 class ProblemResult:
     """Solution of one :class:`Problem` (unpadded)."""
-    params: np.ndarray        # (6 + K,)
+    params: np.ndarray            # (6 + K,)
     energy: float
-    status: str               # 'optimal' or 'fallback'
-    surface: np.ndarray       # (P,) surface values at the mask pixels
+    status: str                   # 'optimal' or 'fallback'
+    surface: Optional[np.ndarray]  # (P,) surface values (packed path: None)
+    fg: Optional[np.ndarray] = None  # (P,) bool foreground at the mask pixels
     tag: object = None
 
 
@@ -173,129 +181,97 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                    progress_line='Computing objects'):
     """Solves a list of :class:`Problem` in padded, bucketed batches.
 
-    Two phases, mirroring ``cvxprog``
-    (``/root/reference/superdsm/objects.py:361-412``): a 6-parameter
-    elliptical solve for initialization, then the full DSM solve with the
-    deformation basis. Problems without deformation dimensions are finished
-    after phase 1 (the reference re-runs the zero-column CP, which is a
-    no-op on an already-converged solution).
+    Problems without deformation dimensions run the packed 6-parameter
+    program; all others run ONE packed program per (P, K) bucket that
+    performs the elliptical initialization and the full DSM solve in a
+    single dispatch, starting from the better of the elliptical solution
+    and the optional warm start (cf. ``cvxprog``,
+    ``/root/reference/superdsm/objects.py:361-412`` — the reference solves
+    the two phases as separate cvxopt programs per object).
 
     :return: list of :class:`ProblemResult`, aligned with ``problems``.
     """
+    from .solver import pack_and_solve_poly, _solve_dsm_packed
     results = [None] * len(problems)
     if len(problems) == 0:
         return results
 
     _, cutoff = smooth_matrix_params(smooth_amount, gaussian_shape_multiplier)
+    img_shape = problems[0].img_shape
+    denom = np.maximum(np.asarray(img_shape, np.float32) - 1.0, 1.0)
 
-    # ---- phase 1: elliptical (6-parameter) solves, bucketed by P ----
-    order = sorted(range(len(problems)), key=lambda i: problems[i].n_pixels)
-    phase1_params = [None] * len(problems)
-    phase1_energy = [None] * len(problems)
-    phase1_surface = [None] * len(problems)
-    phase1_conv = [None] * len(problems)
+    poly_groups = {}
+    dsm_groups = {}
+    for i, p in enumerate(problems):
+        pb = _bucket(p.n_pixels, P_BUCKETS)
+        if p.n_deform == 0 or not np.isfinite(smooth_amount):
+            poly_groups.setdefault(pb, []).append(i)
+        else:
+            kb = _bucket(max(p.n_deform, 1), K_BUCKETS[1:])
+            dsm_groups.setdefault((pb, kb), []).append(i)
 
-    groups = {}
-    for i in order:
-        pb = _bucket(problems[i].n_pixels, P_BUCKETS)
-        groups.setdefault(pb, []).append(i)
-
-    done = 0
-    for pb, idxs in sorted(groups.items()):
+    done, total = 0, len(problems)
+    for pb, idxs in sorted(poly_groups.items()):
         bmax = _b_cap(pb)
         for chunk_start in range(0, len(idxs), bmax):
             chunk = idxs[chunk_start: chunk_start + bmax]
             Bp = _batch_shape(len(chunk), pb)
-            C = np.zeros((Bp, pb, 2), np.float32)
-            Y = np.zeros((Bp, pb), np.float32)
-            Wt = np.zeros((Bp, pb), np.float32)
-            P0 = np.zeros((Bp, 6), np.float32)
-            for j, i in enumerate(chunk):
-                p = problems[i]
-                C[j, :p.n_pixels] = p.norm_coords()
-                Y[j, :p.n_pixels] = p.yv
-                Wt[j, :p.n_pixels] = 1.0
-                if p.init_params is not None:
-                    P0[j] = p.init_params[:6]
-            r = solve_polynomial_batch(C, Y, Wt, params0=P0, maxiter=maxiter, tol=tol)
-            for j, i in enumerate(chunk):
-                p = problems[i]
-                phase1_params[i] = r.params[j]
-                phase1_energy[i] = float(r.energy[j])
-                phase1_surface[i] = r.surface[j, :p.n_pixels]
-                phase1_conv[i] = bool(r.converged[j])
+            inits = [problems[i].init_params for i in chunk]
+            solved = pack_and_solve_poly([problems[i] for i in chunk], img_shape,
+                                         params0=inits, maxiter=maxiter, tol=tol,
+                                         pb=pb, Bp=Bp)
+            for (params, energy, conv, fg), i in zip(solved, chunk):
+                results[i] = ProblemResult(
+                    params=params, energy=energy,
+                    status='optimal' if np.isfinite(energy) else 'fallback',
+                    surface=None, fg=fg, tag=problems[i].tag)
             done += len(chunk)
             if out is not None:
-                out.intermediate(f'{progress_line}... phase 1: {done} / {len(problems)}')
+                out.intermediate(f'{progress_line}... {done} / {total}')
 
-    # ---- phase 2: full DSM solves for problems with deformation dims ----
-    groups2 = {}
-    for i in range(len(problems)):
-        p = problems[i]
-        if p.n_deform == 0 or not np.isfinite(smooth_amount):
-            results[i] = ProblemResult(
-                params=phase1_params[i], energy=phase1_energy[i],
-                status='optimal' if phase1_conv[i] else _fallback_status(phase1_energy[i]),
-                surface=phase1_surface[i], tag=p.tag)
-            continue
-        key = (_bucket(p.n_pixels, P_BUCKETS), _bucket(max(p.n_deform, 1), K_BUCKETS[1:]))
-        groups2.setdefault(key, []).append(i)
-
-    done = 0
-    total2 = sum(len(v) for v in groups2.values())
-    for (pb, kb), idxs in sorted(groups2.items()):
+    for (pb, kb), idxs in sorted(dsm_groups.items()):
         idxs.sort(key=lambda i: problems[i].n_pixels)
         bmax = _b_cap(pb)
         for chunk_start in range(0, len(idxs), bmax):
             chunk = idxs[chunk_start: chunk_start + bmax]
             Bp = _batch_shape(len(chunk), pb)
-            C = np.zeros((Bp, pb, 2), np.float32)
-            PIX = np.zeros((Bp, pb, 2), np.int32)
-            SUB = np.zeros((Bp, kb, 2), np.int32)
+            PIXa = np.zeros((Bp, pb, 2), np.int16)
+            OFF = np.zeros((Bp, 2), np.int32)
+            CNT = np.zeros((Bp,), np.int32)
+            Y = np.zeros((Bp, pb), np.float16)
+            SUB = np.full((Bp, kb, 2), -10 * (cutoff + 1), np.int16)
             KM = np.zeros((Bp, kb), np.float32)
-            Y = np.zeros((Bp, pb), np.float32)
-            Wt = np.zeros((Bp, pb), np.float32)
-            P0 = np.zeros((Bp, 6 + kb), np.float32)
+            WARM = np.zeros((Bp, 6 + kb), np.float32)
+            USE_WARM = np.zeros((Bp,), bool)
             for j, i in enumerate(chunk):
                 p = problems[i]
-                n, k = p.n_pixels, p.n_deform
-                C[j, :n] = p.norm_coords()
-                PIX[j, :n] = p.pts
+                npix, k = p.n_pixels, p.n_deform
+                PIXa[j, :npix] = p.pts
+                OFF[j] = p.offset
+                CNT[j] = npix
+                Y[j, :npix] = p.yv.astype(np.float16)
                 SUB[j, :k] = p.sub
                 KM[j, :k] = 1.0
-                Y[j, :n] = p.yv
-                Wt[j, :n] = 1.0
                 if p.init_params is not None:
-                    P0[j, :6 + k] = p.init_params
-                elif init == 'elliptical':
-                    P0[j, :6] = phase1_params[i]
-                # place padded subsample points far away so they cannot fall
-                # into the support window of real pixels
-                SUB[j, k:] = -10 * (cutoff + 1)
-            r = solve_dsm_batch(C, PIX, SUB, KM, Y, Wt, P0,
-                                alpha=np.full(Bp, alpha, np.float32), epsilon=epsilon,
-                                sigma=float(smooth_amount), cutoff=int(cutoff),
-                                maxiter=maxiter, tol=tol)
+                    WARM[j, :6 + k] = p.init_params
+                    USE_WARM[j] = True
+            params, f, f_ell, conv, fg = _solve_dsm_packed(
+                PIXa, OFF, CNT, Y, denom, SUB, KM, WARM, USE_WARM,
+                np.full(Bp, alpha, np.float32), float(epsilon),
+                int(maxiter), float(tol), float(smooth_amount), int(cutoff))
+            params, f, f_ell, conv, fg = (np.asarray(params), np.asarray(f),
+                                          np.asarray(f_ell), np.asarray(conv),
+                                          np.asarray(fg))
             for j, i in enumerate(chunk):
                 p = problems[i]
-                n, k = p.n_pixels, p.n_deform
-                energy = float(r.energy[j])
-                # fallback semantics (/root/reference/superdsm/objects.py:394-411):
-                # if the full solve did not converge and is worse than its
-                # initialization, keep the initialization
-                if (not bool(r.converged[j])) and energy > phase1_energy[i] + 1e-6 * (1 + abs(energy)):
-                    results[i] = ProblemResult(
-                        params=np.concatenate([phase1_params[i], np.zeros(k, np.float32)]),
-                        energy=phase1_energy[i], status='fallback',
-                        surface=phase1_surface[i], tag=p.tag)
-                else:
-                    results[i] = ProblemResult(
-                        params=np.concatenate([r.params[j, :6], r.params[j, 6:6 + k]]),
-                        energy=energy, status='optimal',
-                        surface=r.surface[j, :n], tag=p.tag)
+                npix, k = p.n_pixels, p.n_deform
+                results[i] = ProblemResult(
+                    params=np.concatenate([params[j, :6], params[j, 6:6 + k]]),
+                    energy=float(f[j]), status='optimal',
+                    surface=None, fg=fg[j, :npix].astype(bool), tag=p.tag)
             done += len(chunk)
             if out is not None:
-                out.intermediate(f'{progress_line}... phase 2: {done} / {total2}')
+                out.intermediate(f'{progress_line}... {done} / {total}')
 
     return results
 

@@ -287,3 +287,107 @@ def solve_dsm_batch(coords, pix, sub, kmask, yv, w, params0, alpha, epsilon,
         int(maxiter), float(tol), float(sigma), int(cutoff))
     return SolverResult(np.asarray(params), np.asarray(f), np.asarray(conv),
                         int(it), np.asarray(s))
+
+
+# ---------------------------------------------------------------------------
+# Packed entry points.
+#
+# Through remote-device tunnels every dispatch costs tens of milliseconds and
+# host<->device bandwidth is scarce, so these programs move the *minimum*:
+# int16 crop-local pixel coordinates, float16 intensities, and per-problem
+# pixel counts travel in; normalized coordinates, the pixel-validity mask,
+# and the polynomial basis are rebuilt on device; the foreground comes back
+# as uint8 instead of a float32 surface. The elliptical initialization and
+# the full DSM solve run in ONE program (one dispatch, one transfer of the
+# shared tensors) instead of two phases.
+# ---------------------------------------------------------------------------
+
+def _unpack_inputs(pix, off, cnt, y16, denom):
+    pixf = pix.astype(jnp.float32)
+    coords = (pixf + off.astype(jnp.float32)[:, None, :]) * (1.0 / denom)[None, None, :]
+    P = pix.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    w = (col < cnt[:, None]).astype(jnp.float32)
+    yv = y16.astype(jnp.float32)
+    return pixf, coords, yv, w
+
+
+@functools.partial(jax.jit, static_argnames=('maxiter', 'tol'))
+def _solve_poly_packed(pix, off, cnt, y16, denom, params0, maxiter, tol):
+    """Packed 6-parameter solve; returns (params, energy, conv, fg uint8)."""
+    _, coords, yv, w = _unpack_inputs(pix, off, cnt, y16, denom)
+    Q = _poly_basis(coords)
+    kmask0 = jnp.zeros((pix.shape[0], 0), jnp.float32)
+    alpha = jnp.zeros(pix.shape[0], jnp.float32)
+    params, f, conv, it, s = _solve_batch_impl(params0, Q, None, yv, w, alpha,
+                                               1.0, kmask0, maxiter, tol)
+    fg = ((s > 0) & (w > 0)).astype(jnp.uint8)
+    return params, f, conv, fg
+
+
+@functools.partial(jax.jit, static_argnames=('maxiter', 'tol', 'sigma', 'cutoff'))
+def _solve_dsm_packed(pix, off, cnt, y16, denom, sub, kmask, warm, use_warm,
+                      alpha, epsilon, maxiter, tol, sigma, cutoff):
+    """Packed combined elliptical + DSM solve (one dispatch).
+
+    The full solve starts from the better of the elliptical solution and the
+    optional warm start (parent solution from the generation loop).
+    Returns (params, energy, energy_elliptical, conv, fg uint8).
+    """
+    from .smooth import build_smooth_matrix
+    pixf, coords, yv, w = _unpack_inputs(pix, off, cnt, y16, denom)
+    B, P = pix.shape[:2]
+    K = sub.shape[1]
+    Q = _poly_basis(coords)
+
+    kmask0 = jnp.zeros((B, 0), jnp.float32)
+    p_ell, f_ell, conv_ell, _, _ = _solve_batch_impl(
+        jnp.zeros((B, 6), jnp.float32), Q, None, yv, w,
+        jnp.zeros(B, jnp.float32), 1.0, kmask0, maxiter, tol)
+
+    G = jax.vmap(lambda p, sb, km: build_smooth_matrix(p, sb, sigma, cutoff, km))(
+        pixf, sub.astype(jnp.float32), kmask)
+    p_ell_full = jnp.concatenate([p_ell, jnp.zeros((B, K), jnp.float32)], axis=1)
+
+    # pick the better initialization per problem
+    Bf = jnp.concatenate([Q, G], axis=2)
+    s_warm = jnp.einsum('bpi,bi->bp', Bf, warm, precision=HIGHEST)
+    f_warm = jax.vmap(_energy_from_surface, in_axes=(0, 0, 0, 0, 0, None, 0))(
+        s_warm, warm[:, 6:], yv, w, alpha, epsilon, kmask)
+    take_warm = use_warm & (f_warm < f_ell)
+    params0 = jnp.where(take_warm[:, None], warm, p_ell_full)
+
+    params, f, conv, it, s = _solve_batch_impl(params0, Q, G, yv, w, alpha,
+                                               epsilon, kmask, maxiter, tol)
+    fg = ((s > 0) & (w > 0)).astype(jnp.uint8)
+    return params, f, f_ell, conv, fg
+
+
+def pack_and_solve_poly(problems, img_shape, params0=None,
+                        maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, pb=None, Bp=None):
+    """Host-side packing for :func:`_solve_poly_packed` over one bucket batch.
+
+    :param problems: list of Problem-likes (``pts`` int, ``offset``, ``yv``).
+    :return: list of ``(params, energy, converged, fg_bool)`` per problem.
+    """
+    n = len(problems)
+    PIX = np.zeros((Bp, pb, 2), np.int16)
+    OFF = np.zeros((Bp, 2), np.int32)
+    CNT = np.zeros((Bp,), np.int32)
+    Y = np.zeros((Bp, pb), np.float16)
+    P0 = np.zeros((Bp, 6), np.float32)
+    for j, p in enumerate(problems):
+        npix = p.n_pixels
+        PIX[j, :npix] = p.pts
+        OFF[j] = p.offset
+        CNT[j] = npix
+        Y[j, :npix] = p.yv.astype(np.float16)
+        if params0 is not None and params0[j] is not None:
+            P0[j] = params0[j][:6]
+    denom = np.maximum(np.asarray(img_shape, np.float32) - 1.0, 1.0)
+    params, f, conv, fg = _solve_poly_packed(PIX, OFF, CNT, Y, denom, P0,
+                                             int(maxiter), float(tol))
+    params, f, conv, fg = (np.asarray(params), np.asarray(f),
+                           np.asarray(conv), np.asarray(fg))
+    return [(params[j], float(f[j]), bool(conv[j]),
+             fg[j, :problems[j].n_pixels].astype(bool)) for j in range(n)]

@@ -163,8 +163,6 @@ def _compute_generations(adjacencies, y_img, atoms_map, log_root_dir, pruning,
         c.footprint = {atom_label}
         atoms.append(c)
     out.write('\nIteration 1:')
-    compute_objects(atoms, y_img, atoms_map, dsm_cfg,
-                    _get_generation_log_dir(log_root_dir, 1), out=out)
 
     cluster_labels = sorted(adjacencies.cluster_labels)
     universes = []
@@ -172,9 +170,12 @@ def _compute_generations(adjacencies, y_img, atoms_map, log_root_dir, pruning,
         universe = Object()
         universe.footprint = set(adjacencies.get_atoms_in_cluster(cluster_label))
         universes.append(universe)
-    compute_objects(universes, y_img, atoms_map, dsm_cfg,
-                    _get_generation_log_dir(log_root_dir, 0),
-                    ('Computing universe costs', 'Universe costs computed'), out=out)
+    # atoms and universes are solved in ONE batched pass (the reference runs
+    # two separate Ray fan-outs, globalenergymin.py:186-199)
+    compute_objects(atoms + universes, y_img, atoms_map, dsm_cfg,
+                    _get_generation_log_dir(log_root_dir, 1),
+                    ('Computing atom and universe costs',
+                     'Atom and universe costs computed'), out=out)
 
     atom_by_label = {next(iter(c.footprint)): c for c in atoms}
     directly_solved_cluster_labels = set()  # solved via Criterion 2

@@ -229,7 +229,7 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
     per_obj_time = dt / max(1, len(problems))
     for prob, res in zip(problems, results):
         obj = objects[prob.tag]
-        fg_local = res.surface > 0
+        fg_local = res.fg if res.fg is not None else (res.surface > 0)
         crop_shape = tuple(prob.pts.max(axis=0) + 1) if prob.n_pixels else (1, 1)
         fg_crop = np.zeros(crop_shape, bool)
         fg_crop[prob.pts[:, 0], prob.pts[:, 1]] = fg_local

@@ -71,3 +71,30 @@ def test_graft_entry_single():
     fn, args = __graft_entry__.entry()
     params, f, conv = jax.block_until_ready(jax.jit(fn)(*args))
     assert params.shape[0] == 4 and np.isfinite(np.asarray(f)).all()
+
+
+def test_mosaic_processing():
+    import numpy as np
+    from superdsm_tpu.parallel.mosaic import process_mosaic, rasterize_mosaic_labels
+    from superdsm_tpu.pipeline import create_default_pipeline
+    from superdsm_tpu.config import Config
+
+    rng = np.random.RandomState(0)
+    H, W = 200, 320
+    rr, cc = np.indices((H, W))
+    centers = [(50, 50), (50, 200), (150, 100), (150, 270)]
+    g = np.zeros((H, W), np.float32)
+    for (r0, c0) in centers:
+        g += np.exp(-(((rr - r0) ** 2 + (cc - c0) ** 2) / (2 * 9.0 ** 2)))
+    g += rng.randn(H, W).astype(np.float32) * 0.02
+
+    cfg = Config({'AF_scale': 10})
+    objects, n_tiles = process_mosaic(create_default_pipeline(), cfg, g,
+                                      tile=(160, 160), halo=48)
+    assert n_tiles == 4
+    assert len(objects) == len(centers)
+    labels = rasterize_mosaic_labels((H, W), objects)
+    found = sorted(tuple(np.argwhere(labels == l).mean(0).round().astype(int))
+                   for l in range(1, labels.max() + 1))
+    for (fr, fc), (er, ec) in zip(found, sorted(centers)):
+        assert abs(fr - er) <= 3 and abs(fc - ec) <= 3

@@ -155,7 +155,7 @@ def test_full_dsm_solve_deforms():
     res_dsm = solve_problems([prob], alpha=0.05, smooth_amount=4)[0]
     assert res_dsm.energy <= res_ell.energy + 1e-3
     fg = np.zeros((H, W), bool)
-    fg[prob.pts[:, 0], prob.pts[:, 1]] = res_dsm.surface > 0
+    fg[prob.pts[:, 0], prob.pts[:, 1]] = res_dsm.fg
     iou = (fg & lmask).sum() / (fg | lmask).sum()
     assert iou > 0.9
 
