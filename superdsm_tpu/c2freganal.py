@@ -83,26 +83,35 @@ def _hash_mask(mask):
     return hashlib.sha1(mask.astype(np.uint8)).digest()
 
 
-def _norm_energy(cache, masked_cluster, bg_edt, obj, atoms_map, background_margin):
-    """Sub-generator computing the normalized energy r(ω) of an object.
+def _norm_energies(cache, masked_cluster, bg_edt, objs, atoms_map, background_margin):
+    """Sub-generator computing normalized energies r(ω) for several objects.
 
-    Yields at most one solve request (``('solve', cp_mask)``); the driver
-    sends the raw energy ψ back. Returns ψ / #ω, or ``None`` for degenerate
-    regions whose offset intensities are single-signed
+    Yields at most ONE solve request (``('solve', [cp_mask, ...])``) covering
+    every cache miss, so a split iteration's two children cost one driver
+    round; the driver sends the list of raw energies ψ back. Returns one
+    value per object: ψ / #ω, or ``None`` for degenerate regions whose
+    offset intensities are single-signed
     (cf. ``/root/reference/superdsm/c2freganal.py:58-79``).
     """
-    cp_mask = obj.get_mask(atoms_map) & masked_cluster.mask & (bg_edt <= background_margin)
-    key = _hash_mask(cp_mask)
-    if key in cache:
-        return cache[key]
-    vals = masked_cluster.model[cp_mask]
-    if vals.size == 0 or (vals > 0).all() or (vals < 0).all():
-        result = None
-    else:
-        energy = yield ('solve', cp_mask)
-        result = None if energy is None else energy / cp_mask.sum()
-    cache[key] = result
-    return result
+    keys, masks, pending = [], [], []
+    for obj in objs:
+        cp_mask = obj.get_mask(atoms_map) & masked_cluster.mask & \
+            (bg_edt <= background_margin)
+        key = _hash_mask(cp_mask)
+        keys.append(key)
+        masks.append(cp_mask)
+        if key in cache:
+            continue
+        vals = masked_cluster.model[cp_mask]
+        if vals.size == 0 or (vals > 0).all() or (vals < 0).all():
+            cache[key] = None
+        else:
+            pending.append((key, cp_mask))
+    if pending:
+        energies = yield ('solve', [mask for _, mask in pending])
+        for (key, cp_mask), energy in zip(pending, energies):
+            cache[key] = None if energy is None else energy / cp_mask.sum()
+    return [cache[key] for key in keys]
 
 
 def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radius,
@@ -126,8 +135,9 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
 
     leaf_candidates = []
     split_queue = queue.Queue()
-    root_candidate.normalized_energy = yield from _norm_energy(
-        cache, masked_cluster, bg_edt, root_candidate, atoms_map, background_margin)
+    root_candidate.normalized_energy = (yield from _norm_energies(
+        cache, masked_cluster, bg_edt, [root_candidate], atoms_map,
+        background_margin))[0]
     if root_candidate.normalized_energy is None:
         root_candidate.normalized_energy = 0.0
     if root_candidate.seed is None:
@@ -178,12 +188,12 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
         c1.footprint = frozenset(c0.footprint)
         c2.footprint = frozenset([new_atom_label])
 
-        for c in (c1, c2):
-            try:
-                c.normalized_energy = yield from _norm_energy(
-                    cache, masked_cluster, bg_edt, c, atoms_map, background_margin)
-            except Exception:
-                c.normalized_energy = None
+        try:
+            child_energies = yield from _norm_energies(
+                cache, masked_cluster, bg_edt, [c1, c2], atoms_map, background_margin)
+        except Exception:
+            child_energies = [None, None]
+        c1.normalized_energy, c2.normalized_energy = child_energies
 
         if c1.normalized_energy is None and c2.normalized_energy is None:
             split_queue.put(c0)
@@ -232,21 +242,26 @@ def _drive_cluster_workers(workers, clusters_by_label, img_shape, out,
     while waiting:
         round_no += 1
         problems = []
-        for label, (kind, cp_mask) in sorted(waiting.items()):
+        for label, (kind, cp_masks) in sorted(waiting.items()):
             assert kind == 'solve'
             cluster = clusters_by_label[label]
-            region = Image(model=cluster.model, mask=cp_mask, offset=cluster.offset)
-            problems.append(make_problem(region, img_shape=img_shape,
-                                         smooth_amount=np.inf, tag=label))
+            for idx, cp_mask in enumerate(cp_masks):
+                region = Image(model=cluster.model, mask=cp_mask, offset=cluster.offset)
+                problems.append(make_problem(region, img_shape=img_shape,
+                                             smooth_amount=np.inf, tag=(label, idx)))
         out.intermediate(f'{status_line}... round {round_no}: '
                          f'{len(problems)} solves, {len(results)} / '
                          f'{len(results) + len(waiting)} clusters done')
         solved = solve_problems(problems, out=None)
-        energy_by_label = {res.tag: res.energy for res in solved}
+        energies_by_label = {}
+        for res in solved:
+            label, idx = res.tag
+            energies_by_label.setdefault(label, {})[idx] = res.energy
         new_waiting = {}
-        for label in list(waiting.keys()):
+        for label, (kind, cp_masks) in list(waiting.items()):
+            energies = [energies_by_label[label][idx] for idx in range(len(cp_masks))]
             try:
-                new_waiting[label] = workers[label].send(energy_by_label[label])
+                new_waiting[label] = workers[label].send(energies)
             except StopIteration as stop:
                 results[label] = stop.value
         waiting = new_waiting
