@@ -20,7 +20,7 @@ from .smooth import prepare_deformation, smooth_matrix_params
 #: Pixel-count buckets (padded shapes compile once each).
 P_BUCKETS = [2048, 8192, 32768, 131072, 524288, 2097152]
 #: Deformation-dimension buckets.
-K_BUCKETS = [0, 32, 128, 512, 2048]
+K_BUCKETS = [0, 32, 64, 128, 256, 512, 1024, 2048]
 #: Batch-size cap per pixel bucket. Every compile costs minutes through
 #: remote-compile tunnels, so the batch dimension is pinned: each (program,
 #: P, K) combination admits exactly TWO shapes (B=1 for single-problem

@@ -28,7 +28,7 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 #: Hard iteration caps (the reference instead relies on a 300 s SIGALRM
 #: timeout per solve, ``/root/reference/superdsm/dsm.py:478-490``).
-DEFAULT_MAXITER = 30
+DEFAULT_MAXITER = 20
 DEFAULT_TOL = 1e-5
 LS_STEPS = 12  # candidate step sizes 2^0 .. 2^-(LS_STEPS-1)
 ARMIJO_C = 1e-4
