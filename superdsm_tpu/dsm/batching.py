@@ -51,7 +51,7 @@ def _batch_shape(n_problems, pb):
     return _b_cap(pb)
 
 
-def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(32, 128),
+def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(32, 64, 128, 256),
            maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, sigma=4.0, cutoff=16,
            threads=4):
     """Pre-compiles the solver programs for the given shape buckets.
