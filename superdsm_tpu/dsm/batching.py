@@ -210,24 +210,21 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
             kb = _bucket(max(p.n_deform, 1), K_BUCKETS[1:])
             dsm_groups.setdefault((pb, kb), []).append(i)
 
-    done, total = 0, len(problems)
+    # dispatch every bucket group asynchronously, then fetch all results in
+    # one host round trip — overlaps transfers with device compute and pays
+    # the tunnel latency once instead of per group
+    from .solver import _pack_poly_group
+    pending = []  # (kind, chunk, device outputs)
     for pb, idxs in sorted(poly_groups.items()):
         bmax = _b_cap(pb)
         for chunk_start in range(0, len(idxs), bmax):
             chunk = idxs[chunk_start: chunk_start + bmax]
             Bp = _batch_shape(len(chunk), pb)
             inits = [problems[i].init_params for i in chunk]
-            solved = pack_and_solve_poly([problems[i] for i in chunk], img_shape,
-                                         params0=inits, maxiter=maxiter, tol=tol,
-                                         pb=pb, Bp=Bp)
-            for (params, energy, conv, fg), i in zip(solved, chunk):
-                results[i] = ProblemResult(
-                    params=params, energy=energy,
-                    status='optimal' if np.isfinite(energy) else 'fallback',
-                    surface=None, fg=fg, tag=problems[i].tag)
-            done += len(chunk)
-            if out is not None:
-                out.intermediate(f'{progress_line}... {done} / {total}')
+            outs = _pack_poly_group([problems[i] for i in chunk], img_shape,
+                                    params0=inits, maxiter=maxiter, tol=tol,
+                                    pb=pb, Bp=Bp)
+            pending.append(('poly', chunk, outs))
 
     for (pb, kb), idxs in sorted(dsm_groups.items()):
         idxs.sort(key=lambda i: problems[i].n_pixels)
@@ -255,13 +252,28 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                 if p.init_params is not None:
                     WARM[j, :6 + k] = p.init_params
                     USE_WARM[j] = True
-            params, f, f_ell, conv, fg = _solve_dsm_packed(
+            outs = _solve_dsm_packed(
                 PIXa, OFF, CNT, Y, denom, SUB, KM, WARM, USE_WARM,
                 np.full(Bp, alpha, np.float32), float(epsilon),
                 int(maxiter), float(tol), float(smooth_amount), int(cutoff))
-            params, f, f_ell, conv, fg = (np.asarray(params), np.asarray(f),
-                                          np.asarray(f_ell), np.asarray(conv),
-                                          np.asarray(fg))
+            pending.append(('dsm', chunk, outs))
+            if out is not None:
+                out.intermediate(f'{progress_line}... dispatched '
+                                 f'{sum(len(c) for _, c, _ in pending)} / {len(problems)}')
+
+    import jax
+    fetched = jax.device_get([outs for _, _, outs in pending])
+    for (kind, chunk, _), outs in zip(pending, fetched):
+        if kind == 'poly':
+            params, f, conv, fg = outs
+            for j, i in enumerate(chunk):
+                p = problems[i]
+                results[i] = ProblemResult(
+                    params=params[j], energy=float(f[j]),
+                    status='optimal' if np.isfinite(f[j]) else 'fallback',
+                    surface=None, fg=fg[j, :p.n_pixels].astype(bool), tag=p.tag)
+        else:
+            params, f, f_ell, conv, fg = outs
             for j, i in enumerate(chunk):
                 p = problems[i]
                 npix, k = p.n_pixels, p.n_deform
@@ -269,9 +281,6 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                     params=np.concatenate([params[j, :6], params[j, 6:6 + k]]),
                     energy=float(f[j]), status='optimal',
                     surface=None, fg=fg[j, :npix].astype(bool), tag=p.tag)
-            done += len(chunk)
-            if out is not None:
-                out.intermediate(f'{progress_line}... {done} / {total}')
 
     return results
 

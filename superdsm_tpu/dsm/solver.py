@@ -363,14 +363,10 @@ def _solve_dsm_packed(pix, off, cnt, y16, denom, sub, kmask, warm, use_warm,
     return params, f, f_ell, conv, fg
 
 
-def pack_and_solve_poly(problems, img_shape, params0=None,
-                        maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, pb=None, Bp=None):
-    """Host-side packing for :func:`_solve_poly_packed` over one bucket batch.
-
-    :param problems: list of Problem-likes (``pts`` int, ``offset``, ``yv``).
-    :return: list of ``(params, energy, converged, fg_bool)`` per problem.
-    """
-    n = len(problems)
+def _pack_poly_group(problems, img_shape, params0=None,
+                     maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, pb=None, Bp=None):
+    """Packs one bucket batch and dispatches :func:`_solve_poly_packed`
+    WITHOUT fetching (async device outputs)."""
     PIX = np.zeros((Bp, pb, 2), np.int16)
     OFF = np.zeros((Bp, 2), np.int32)
     CNT = np.zeros((Bp,), np.int32)
@@ -385,9 +381,18 @@ def pack_and_solve_poly(problems, img_shape, params0=None,
         if params0 is not None and params0[j] is not None:
             P0[j] = params0[j][:6]
     denom = np.maximum(np.asarray(img_shape, np.float32) - 1.0, 1.0)
-    params, f, conv, fg = _solve_poly_packed(PIX, OFF, CNT, Y, denom, P0,
-                                             int(maxiter), float(tol))
-    params, f, conv, fg = (np.asarray(params), np.asarray(f),
-                           np.asarray(conv), np.asarray(fg))
+    return _solve_poly_packed(PIX, OFF, CNT, Y, denom, P0, int(maxiter), float(tol))
+
+
+def pack_and_solve_poly(problems, img_shape, params0=None,
+                        maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, pb=None, Bp=None):
+    """Host-side packing for :func:`_solve_poly_packed` over one bucket batch.
+
+    :param problems: list of Problem-likes (``pts`` int, ``offset``, ``yv``).
+    :return: list of ``(params, energy, converged, fg_bool)`` per problem.
+    """
+    out = _pack_poly_group(problems, img_shape, params0=params0,
+                           maxiter=maxiter, tol=tol, pb=pb, Bp=Bp)
+    params, f, conv, fg = jax.device_get(out)  # one host round trip
     return [(params[j], float(f[j]), bool(conv[j]),
-             fg[j, :problems[j].n_pixels].astype(bool)) for j in range(n)]
+             fg[j, :problems[j].n_pixels].astype(bool)) for j in range(len(problems))]

@@ -11,6 +11,11 @@ import sys
 
 os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
                            + ' --xla_force_host_platform_device_count=8')
+# CPU executables must not be shared with the TPU runs' persistent cache
+# (AOT artifacts are machine-feature specific)
+os.environ.setdefault('SDSM_COMPILATION_CACHE',
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   '..', '.jax_cache_cpu'))
 
 import jax
 
