@@ -115,3 +115,44 @@ def test_stage_disabled():
     data, _, timings = pipeline.process_image(synthetic_blobs(), cfg)
     assert 'postprocessed_objects' not in data
     assert timings['postprocess'] == 0
+
+
+def test_isbi24_pruning_matches_exact():
+    """Both pruning modes must produce the same objects on an easy image."""
+    cfg_base = {'c2f-region-analysis/min_atom_radius': 6,
+                'global-energy-minimization/beta': 0.5}
+    results = {}
+    for mode in ('exact', 'isbi24'):
+        pipeline = create_default_pipeline()
+        cfg = Config()
+        for key, value in cfg_base.items():
+            cfg[key] = value
+        cfg['global-energy-minimization/pruning'] = mode
+        data, _, _ = pipeline.process_image(synthetic_blobs(), cfg)
+        results[mode] = sorted(
+            (tuple(o.fg_offset), int(o.fg_fragment.sum()))
+            for o in data['postprocessed_objects'])
+    assert results['exact'] == results['isbi24']
+
+
+def test_warm_start_equivalence():
+    """Warm-started generation candidates must not change the solution
+    (the convex programs have unique optima)."""
+    import superdsm_tpu.objects as OBJ
+    pipeline = create_default_pipeline()
+    cfg = Config()
+    cfg['c2f-region-analysis/min_atom_radius'] = 6
+    cfg['global-energy-minimization/beta'] = 0.5
+    data_warm, _, _ = pipeline.process_image(synthetic_blobs(), cfg)
+
+    orig = OBJ._warm_start_params
+    OBJ._warm_start_params = lambda obj, problem: None
+    try:
+        data_cold, _, _ = pipeline.process_image(synthetic_blobs(), cfg)
+    finally:
+        OBJ._warm_start_params = orig
+    masks_warm = sorted((tuple(o.fg_offset), int(o.fg_fragment.sum()))
+                        for o in data_warm['postprocessed_objects'])
+    masks_cold = sorted((tuple(o.fg_offset), int(o.fg_fragment.sum()))
+                        for o in data_cold['postprocessed_objects'])
+    assert masks_warm == masks_cold
