@@ -109,6 +109,36 @@ def _grad_hess(params, s, Q, G, yv, w, alpha, epsilon, kmask):
 MU_MIN = 1e-10
 MU_MAX = 1e6
 
+#: Newton systems larger than this solve by preconditioned CG instead of
+#: Cholesky — TPU Cholesky is a sequential panel algorithm and dominates the
+#: iteration cost at n ~ 500, while CG is pure batched matvecs.
+CHOLESKY_MAX_N = 300
+CG_ITERS = 24
+
+
+def _pcg_solve(H, b, iters=CG_ITERS):
+    """Jacobi-preconditioned conjugate gradients for one SPD system."""
+    dinv = 1.0 / jnp.diagonal(H)
+    x = b * dinv
+    r = b - H @ x
+    z = r * dinv
+    p = z
+    rz = jnp.dot(r, z)
+
+    def body(i, state):
+        x, r, p, rz = state
+        Hp = H @ p
+        a = rz / (jnp.dot(p, Hp) + 1e-30)
+        x = x + a * p
+        r = r - a * Hp
+        z = r * dinv
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / (rz + 1e-30)
+        return x, r, z + beta * p, rz_new
+
+    x, r, p, rz = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+    return x
+
 
 def _newton_step(params, mu, s, f0, Bf, yv, w, alpha, epsilon, kmask, tol):
     """One Levenberg-Marquardt-damped Newton iteration.
@@ -136,8 +166,11 @@ def _newton_step(params, mu, s, f0, Bf, yv, w, alpha, epsilon, kmask, tol):
 
     scale_h = jnp.trace(H) / n + 1e-12
     Hd = H + (mu * scale_h) * jnp.eye(n, dtype=H.dtype)
-    L, lower = jax.scipy.linalg.cho_factor(Hd)
-    delta = -jax.scipy.linalg.cho_solve((L, lower), g)
+    if n > CHOLESKY_MAX_N:
+        delta = -_pcg_solve(Hd, g)
+    else:
+        L, lower = jax.scipy.linalg.cho_factor(Hd)
+        delta = -jax.scipy.linalg.cho_solve((L, lower), g)
     # guard against a failed factorization (NaNs): fall back to a tiny
     # gradient step
     bad = ~jnp.all(jnp.isfinite(delta))
