@@ -256,3 +256,75 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
 
     out.write(f'{status_line[1]}: {len(objects)} ({fallbacks}x fallback)')
     return objects
+
+
+class Energy:
+    """Host-side evaluator of the convex energy psi for one region.
+
+    API-parity counterpart of the reference's ``Energy``
+    (``/root/reference/superdsm/dsm.py:253-385``): callable on a parameter
+    vector, exposing the region and the deformation dimensionality. The
+    batched device solver does not use this class; it exists so code written
+    against the reference's ``cvxprog``/``Energy`` interface keeps working.
+    """
+
+    def __init__(self, region, epsilon, alpha, smooth_amount=np.inf,
+                 gaussian_shape_multiplier=2, smooth_subsample=20):
+        from .dsm.batching import make_problem
+        from .dsm.smooth import build_smooth_matrix, smooth_matrix_params
+        self.roi = region
+        self.epsilon = float(epsilon)
+        self.alpha = float(alpha)
+        self.p = make_problem(region, smooth_amount=smooth_amount,
+                              gaussian_shape_multiplier=gaussian_shape_multiplier,
+                              smooth_subsample=smooth_subsample)
+        if self.p.n_deform:
+            _, cutoff = smooth_matrix_params(smooth_amount, gaussian_shape_multiplier)
+            self.smooth_mat = np.asarray(build_smooth_matrix(
+                self.p.pts.astype(np.float32), self.p.sub.astype(np.float32),
+                float(smooth_amount), int(cutoff)))
+        else:
+            self.smooth_mat = np.zeros((self.p.n_pixels, 0), np.float32)
+
+    def __call__(self, params):
+        params = params.array if hasattr(params, 'array') else np.asarray(params, float)
+        theta = params[:6]
+        xi = params[6:6 + self.p.n_deform]
+        s = polynomial_basis(self.p.norm_coords().astype(float)) @ theta
+        if len(xi):
+            s = s + self.smooth_mat @ xi
+        data = np.logaddexp(0.0, -self.p.yv.astype(float) * s).sum()
+        reg = self.alpha * (np.sqrt(xi ** 2 + self.epsilon).sum()
+                            - len(xi) * np.sqrt(self.epsilon)) if len(xi) else 0.0
+        return data + max(reg, 0.0)
+
+
+def cvxprog(region, scale=1000, epsilon=1.0, alpha=0.5, smooth_amount=10,
+            smooth_subsample=20, gaussian_shape_multiplier=2,
+            smooth_mat_allocation_lock=None, smooth_mat_dtype='float32',
+            sparsity_tol=0, hessian_sparsity_tol=0, init='elliptical',
+            cachesize=0, cachetest=None, cp_timeout=None,
+            newton_maxiter=None, newton_tol=None):
+    """Fits a deformable shape model to one image region.
+
+    Drop-in counterpart of the reference's ``cvxprog``
+    (``/root/reference/superdsm/objects.py:361-412``): returns
+    ``(J, model, status)`` where ``J`` is an :class:`Energy` evaluator,
+    ``model`` a :class:`~superdsm_tpu.dsm.model.DeformableShapeModel`, and
+    ``status`` ``'optimal'`` or ``'fallback'``. The solve itself runs on the
+    batched device path; the cvxopt-era arguments (``scale``, ``cachesize``,
+    ``cp_timeout``, locks, sparsity tolerances) are accepted and ignored.
+    """
+    from .dsm.batching import make_problem, solve_problems
+    from .dsm.solver import DEFAULT_MAXITER, DEFAULT_TOL
+    problem = make_problem(region, smooth_amount=smooth_amount,
+                           gaussian_shape_multiplier=gaussian_shape_multiplier,
+                           smooth_subsample=smooth_subsample)
+    result = solve_problems(
+        [problem], alpha=alpha, epsilon=epsilon, smooth_amount=smooth_amount,
+        gaussian_shape_multiplier=gaussian_shape_multiplier, init=init,
+        maxiter=newton_maxiter or DEFAULT_MAXITER,
+        tol=newton_tol or DEFAULT_TOL)[0]
+    J = Energy(region, epsilon, alpha, smooth_amount,
+               gaussian_shape_multiplier, smooth_subsample)
+    return J, DeformableShapeModel(np.asarray(result.params, float)), result.status

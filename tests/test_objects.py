@@ -76,3 +76,22 @@ def test_get_cvxprog_region():
                          [True, True, True, False, False]])
     np.testing.assert_allclose(region.mask, expected)
     np.testing.assert_allclose(region.model, y_data)
+
+
+def test_cvxprog_api():
+    """The reference-compatible cvxprog() entry point fits one region."""
+    import numpy as np
+    from superdsm_tpu.objects import cvxprog, Energy
+    from superdsm_tpu.image import Image
+    rr, cc = np.indices((48, 48))
+    y = (((rr - 24) ** 2 + (cc - 24) ** 2) < 144).astype(float) - 0.5
+    J, model, status = cvxprog(Image(y), smooth_amount=4, smooth_subsample=8,
+                               alpha=0.1)
+    assert status == 'optimal'
+    # J evaluates the same objective the solver minimized (close to it)
+    energy = J(model)
+    assert np.isfinite(energy)
+    s = model.s(np.stack(np.indices((48, 48))).astype(float) / 47.0)
+    fg = s > 0
+    true = y > 0
+    assert (fg & true).sum() / (fg | true).sum() > 0.9
