@@ -79,3 +79,19 @@ def gaussian_filter_host(img, sigma, truncate=4.0):
     """Host (scipy) Gaussian filter with identical semantics."""
     import scipy.ndimage as ndi
     return ndi.gaussian_filter(np.asarray(img, dtype=np.float32), sigma, truncate=truncate)
+
+
+@functools.partial(jax.jit, static_argnames=('sigmas', 'truncate'))
+def _gaussian_filter_multi(x, sigmas, truncate):
+    return tuple(_gaussian_filter_2d(x, (s, s), truncate) for s in sigmas)
+
+
+def gaussian_filter_multi(img, sigmas, truncate=4.0):
+    """Filters one image at several sigmas in a single device dispatch
+    (one upload of ``img``, one fetch of all results)."""
+    img = jnp.asarray(img)
+    if img.dtype not in (jnp.float32, jnp.float64, jnp.bfloat16):
+        img = img.astype(jnp.float32)
+    outs = _gaussian_filter_multi(img, tuple(float(s) for s in sigmas),
+                                  float(truncate))
+    return jax.device_get(outs)

@@ -29,7 +29,7 @@ import scipy.ndimage as ndi
 from .pipeline import Stage
 from ._aux import join_path
 from .objects import BaseObject, extract_foreground_fragment
-from .ops.gaussian import gaussian_filter
+from .ops.gaussian import gaussian_filter, gaussian_filter_multi
 from .ops.morphology import disk, binary_dilation, binary_erosion
 
 
@@ -85,6 +85,8 @@ class Postprocessing(Stage):
         min_boundary_glare_radius = cfg.get('min_boundary_glare_radius', min_glare_radius)
 
         g_raw = np.asarray(input_data['g_raw'], np.float64)
+        g_smooth_mask, g_smooth_glare = gaussian_filter_multi(
+            g_raw.astype(np.float32), (mask_smoothness, glare_detection_smoothness))
         objects = [obj for obj in input_data['cover'].solution
                    if obj.fg_fragment is not None and obj.fg_fragment.any()]
 
@@ -100,10 +102,8 @@ class Postprocessing(Stage):
             'g': g_raw,
             'atoms': input_data['atoms'],
             'background_margin': input_data['dsm_cfg']['background_margin'],
-            'g_mask_processing': np.asarray(
-                gaussian_filter(g_raw.astype(np.float32), mask_smoothness), np.float64),
-            'g_glare_detection': np.asarray(
-                gaussian_filter(g_raw.astype(np.float32), glare_detection_smoothness), np.float64),
+            'g_mask_processing': np.asarray(g_smooth_mask, np.float64),
+            'g_glare_detection': np.asarray(g_smooth_glare, np.float64),
             'background_mask': background_mask,
             'exterior_scale': exterior_scale,
             'exterior_offset': exterior_offset,
