@@ -23,10 +23,13 @@ import os as _os
 if _os.environ.get('SDSM_DISABLE_COMPILATION_CACHE') != '1':
     try:
         import jax as _jax
+        # scope the cache by platform: AOT artifacts are machine/backend
+        # specific and must not be shared between CPU test runs and TPU runs
+        _platform = _os.environ.get('JAX_PLATFORMS', 'default').split(',')[0] or 'default'
         _cache_dir = _os.environ.get(
             'SDSM_COMPILATION_CACHE',
             _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-                          '.jax_cache'))
+                          '.jax_cache', _platform))
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update('jax_compilation_cache_dir', _cache_dir)
         _jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
