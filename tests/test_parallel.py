@@ -97,3 +97,26 @@ def test_mosaic_processing():
                    for l in range(1, labels.max() + 1))
     for (fr, fc), (er, ec) in zip(found, sorted(centers)):
         assert abs(fr - er) <= 3 and abs(fc - ec) <= 3
+
+
+def test_pipelined_matches_sequential():
+    from superdsm_tpu.parallel.pipelined import process_images_pipelined
+    from superdsm_tpu.config import Config
+    from superdsm_tpu.pipeline import create_default_pipeline
+    from superdsm_tpu.automation import process_image
+    from tests.test_pipeline import synthetic_blobs
+
+    images = [synthetic_blobs(seed) for seed in (0, 1)]
+    cfg = Config()
+    cfg['AF_scale'] = 10
+    cfg['global-energy-minimization/beta'] = 0.5
+    results = process_images_pipelined(create_default_pipeline, cfg, images, threads=2)
+    pipe = create_default_pipeline()
+    for img, data in zip(images, results):
+        # same entry point sequentially (pipelined uses auto-configuration)
+        ref, _, _ = process_image(pipe, cfg.copy(), img)
+        got = sorted((tuple(o.fg_offset), int(o.fg_fragment.sum()))
+                     for o in data['postprocessed_objects'])
+        want = sorted((tuple(o.fg_offset), int(o.fg_fragment.sum()))
+                      for o in ref['postprocessed_objects'])
+        assert got == want
