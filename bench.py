@@ -78,6 +78,7 @@ def main():
     # device solves across images (superdsm_tpu.parallel.pipelined)
     from superdsm_tpu.parallel.pipelined import process_images_pipelined
     from superdsm_tpu.pipeline import create_default_pipeline
+    n_images = max(n_images, 6)
     images = [make_image(seed)[0] for seed in range(n_images)]
     t0 = time.time()
     process_images_pipelined(create_default_pipeline, base_cfg, images,
