@@ -78,12 +78,12 @@ def main():
     # device solves across images (superdsm_tpu.parallel.pipelined)
     from superdsm_tpu.parallel.pipelined import process_images_pipelined
     from superdsm_tpu.pipeline import create_default_pipeline
-    n_images = max(n_images, 6)
-    images = [make_image(seed)[0] for seed in range(n_images)]
+    n_throughput = max(n_images, 6)
+    images = [make_image(seed)[0] for seed in range(n_throughput)]
     t0 = time.time()
     process_images_pipelined(create_default_pipeline, base_cfg, images,
                              threads=2, out=out)
-    throughput = (time.time() - t0) / n_images
+    throughput = (time.time() - t0) / n_throughput
 
     result = {
         'metric': 'bbbc039like_sec_per_image_batch',
