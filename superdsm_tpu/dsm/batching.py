@@ -210,6 +210,17 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
             kb = _bucket(max(p.n_deform, 1), K_BUCKETS[1:])
             dsm_groups.setdefault((pb, kb), []).append(i)
 
+    # coalesce small K groups into the next-larger K group of the same pixel
+    # bucket: each call pays ~0.2 s of fixed tunnel cost, which outweighs the
+    # extra padded columns for small batches
+    for (pb, kb) in sorted(dsm_groups.keys()):
+        group = dsm_groups.get((pb, kb))
+        if group is None or len(group) > _b_cap(pb) // 4:
+            continue
+        larger = [kb2 for (pb2, kb2) in dsm_groups if pb2 == pb and kb2 > kb]
+        if larger:
+            dsm_groups[(pb, min(larger))].extend(dsm_groups.pop((pb, kb)))
+
     # dispatch every bucket group asynchronously, then fetch all results in
     # one host round trip — overlaps transfers with device compute and pays
     # the tunnel latency once instead of per group
