@@ -82,7 +82,7 @@ def main():
     images = [make_image(seed)[0] for seed in range(n_throughput)]
     t0 = time.time()
     process_images_pipelined(create_default_pipeline, base_cfg, images,
-                             threads=2, out=out)
+                             threads=3, out=out)
     throughput = (time.time() - t0) / n_throughput
 
     result = {
