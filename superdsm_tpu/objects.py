@@ -254,6 +254,21 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
         if res.status == 'fallback':
             fallbacks += 1
 
+    if log_root_dir is not None:
+        # per-solve telemetry (the reference redirects each Ray worker's
+        # stdout to log/<img>/genN/<cidx>.txt, objects.py:220-233; the
+        # batched path writes one summary per compute_objects call)
+        import os
+        from ._aux import mkdir
+        mkdir(log_root_dir)
+        with open(os.path.join(log_root_dir, 'solves.txt'), 'a') as fout:
+            for prob, res in zip(problems, results):
+                obj = objects[prob.tag]
+                fout.write(f'footprint={sorted(obj.footprint)} '
+                           f'pixels={prob.n_pixels} deform={prob.n_deform} '
+                           f'energy={res.energy:.6g} status={res.status} '
+                           f'on_boundary={obj.on_boundary}\n')
+
     out.write(f'{status_line[1]}: {len(objects)} ({fallbacks}x fallback)')
     return objects
 
