@@ -121,9 +121,37 @@ def _sharded_newton(params0, Q, G, yv, w, alpha, epsilon, kmask,
         t_step = jnp.where(improved, steps[pick], 0.0)
 
         new_params = params + t_step * delta
-        new_conv = (0.5 * decrement <= tol * (1.0 + jnp.abs(f0))) | (~improved)
+        new_s = s + t_step * u
+        new_f = jnp.where(improved, f_cand[pick], f0)
+
+        # multiplicative scale sweep (see dsm.solver._newton_step): jumps the
+        # near-separable "creep" mode geometrically; candidate energies are
+        # psum-reduced like the line search
+        scales = jnp.asarray([0.7, 1.0, 1.4, 2.0, 3.0, 4.5, 6.5, 9.0],
+                             params.dtype)
+        t_sc = yv * new_s
+        data_sc = jax.lax.psum(
+            jnp.sum(w[:, None] * jax.nn.softplus(-t_sc[:, None] * scales[None, :]),
+                    axis=0), pixel_axis)
+        if n > 6:
+            xi_sc = new_params[6:, None] * scales[None, :]
+            term2sc = jnp.sqrt(xi_sc * xi_sc + epsilon)
+            reg_sc = jnp.maximum(
+                alpha * jnp.sum(kmask[:, None] * (term2sc - jnp.sqrt(epsilon)),
+                                axis=0), 0.0)
+            f_sc = data_sc + reg_sc
+        else:
+            f_sc = data_sc
+        pick_sc = jnp.argmin(f_sc)
+        boost = (f_sc[pick_sc] < new_f) & jnp.isfinite(f_sc[pick_sc])
+        c_best = jnp.where(boost, scales[pick_sc], 1.0)
+        new_params = new_params * c_best
+        new_f = jnp.where(boost, f_sc[pick_sc], new_f)
+
+        new_conv = ((0.5 * decrement <= tol * (1.0 + jnp.abs(f0))) | (~improved)) \
+            & (~boost)
         params = jnp.where(conv, params, new_params)
-        fval = jnp.where(conv, fval, f_cand[pick])
+        fval = jnp.where(conv, fval, new_f)
         return it + 1, params, conv | new_conv, fval
 
     def cond(state):
