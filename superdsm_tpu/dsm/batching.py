@@ -20,7 +20,7 @@ from .smooth import prepare_deformation, smooth_matrix_params
 #: Pixel-count buckets (padded shapes compile once each).
 P_BUCKETS = [2048, 8192, 32768, 131072, 524288, 2097152]
 #: Deformation-dimension buckets.
-K_BUCKETS = [0, 32, 64, 128, 256, 512, 1024, 2048]
+K_BUCKETS = [0, 26, 58, 122, 250, 506, 1018, 2042]  # 6+K = powers of two (tile-aligned)
 #: Batch-size cap per pixel bucket. Every compile costs minutes through
 #: remote-compile tunnels, so the batch dimension is pinned: each (program,
 #: P, K) combination admits exactly TWO shapes (B=1 for single-problem
@@ -51,7 +51,7 @@ def _batch_shape(n_problems, pb):
     return _b_cap(pb)
 
 
-def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(32, 64, 128, 256),
+def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(26, 58, 122, 250),
            maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, sigma=4.0, cutoff=16,
            threads=4):
     """Pre-compiles the solver programs for the given shape buckets.

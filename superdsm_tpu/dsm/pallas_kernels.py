@@ -1,0 +1,139 @@
+"""Pallas TPU kernels for the Newton inner loop.
+
+The per-iteration hot op of the batched solver is: given the feature matrix
+``Bf (P, n)``, the carried surface ``s`` and data ``yv, w``, compute the
+logistic weights and both reductions
+
+    term1 = -yv * sigmoid(-yv s) * w            (P,)
+    kappa =  w  * yv^2 * sig * (1 - sig)        (P,)
+    g     = Bf^T term1                          (n,)
+    H     = Bf^T diag(kappa) Bf                 (n, n)
+
+XLA evaluates this as separate passes over ``Bf`` (materializing the
+kappa-scaled copy); this kernel streams each ``Bf`` tile through VMEM once,
+computing the elementwise weights on the VPU and both reductions on the MXU,
+accumulating ``g`` and ``H`` across the grid. ``n`` is a power of two by
+bucket construction (``dsm.batching.K_BUCKETS``).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _grad_hess_kernel(aux_ref, bf_ref, g_ref, h_ref):
+    s = aux_ref[0, 0, :]
+    yv = aux_ref[0, 1, :]
+    w = aux_ref[0, 2, :]
+    t = yv * s
+    sig = jax.nn.sigmoid(-t)
+    term1 = -yv * sig * w
+    kappa = w * yv * yv * sig * (1.0 - sig)
+
+    bf = bf_ref[0]                                   # (TP, n)
+    gpart = jnp.dot(term1[None, :], bf, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)       # (1, n)
+    hpart = jax.lax.dot_general(
+        bf * kappa[:, None], bf,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                   # (n, n)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        g_ref[0] = gpart
+        h_ref[0] = hpart
+
+    @pl.when(pl.program_id(1) > 0)
+    def _():
+        g_ref[0] = g_ref[0] + gpart
+        h_ref[0] = h_ref[0] + hpart
+
+
+def _tile_rows(P, n):
+    """Row-tile size: keep the double-buffered Bf tile around 2 MB of VMEM."""
+    budget = (1024 * 1024) // max(n * 4, 1)
+    tp = max(256, min(2048, (budget // 256) * 256))
+    while P % tp != 0:
+        tp //= 2
+        if tp < 8:
+            return P
+    return tp
+
+
+def _batch_chunk(n):
+    """Batch chunk so the kernel's output buffers stay well under VMEM
+    (the AOT pipeline stages the whole custom-call output tuple there).
+    Power of two, so power-of-two batches split into uniform shapes."""
+    limit = max(1, (3 * 1024 * 1024) // ((n * n + n) * 4))
+    bc = 1
+    while bc * 2 <= limit:
+        bc *= 2
+    return bc
+
+
+def _fused_grad_hess_call(Bf, aux):
+    B, P, n = Bf.shape
+    tp = _tile_rows(P, n)
+    return pl.pallas_call(
+        _grad_hess_kernel,
+        grid=(B, P // tp),
+        in_specs=[
+            pl.BlockSpec((1, 3, tp), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp, n), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, n), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((B, n, n), jnp.float32),
+        ),
+    )(aux, Bf)
+
+
+@jax.jit
+def fused_grad_hess_batched(Bf, s, yv, w):
+    """Fused logistic gradient and Gauss-Newton Hessian, batched.
+
+    The batch is a grid dimension (NOT vmap: a vmapped pallas_call allocates
+    the whole batched output in VMEM). The batch is additionally chunked so
+    each call's output buffers fit comfortably in VMEM.
+
+    :param Bf: (B, P, n) feature matrices, n a multiple of 128.
+    :return: ``(g (B, n), H (B, n, n))`` float32.
+    """
+    B, P, n = Bf.shape
+    aux = jnp.stack([s, yv, w], axis=1).astype(jnp.float32)  # (B, 3, P)
+    Bf = Bf.astype(jnp.float32)
+    bc = _batch_chunk(n)
+    if bc >= B:
+        g, H = _fused_grad_hess_call(Bf, aux)
+        return g[:, 0, :], H
+    gs, Hs = [], []
+    for start in range(0, B, bc):
+        end = min(start + bc, B)
+        g, H = _fused_grad_hess_call(Bf[start:end], aux[start:end])
+        gs.append(g[:, 0, :])
+        Hs.append(H)
+    return jnp.concatenate(gs, axis=0), jnp.concatenate(Hs, axis=0)
+
+
+def pallas_available():
+    """Whether the TPU Pallas path should be used (trace-time decision)."""
+    import os
+    if os.environ.get('SDSM_DISABLE_PALLAS') == '1':
+        return False
+    try:
+        return jax.default_backend() in ('tpu', 'axon')
+    except Exception:
+        return False

@@ -28,7 +28,7 @@ HIGHEST = jax.lax.Precision.HIGHEST
 
 #: Hard iteration caps (the reference instead relies on a 300 s SIGALRM
 #: timeout per solve, ``/root/reference/superdsm/dsm.py:478-490``).
-DEFAULT_MAXITER = 20
+DEFAULT_MAXITER = 50
 DEFAULT_TOL = 1e-5
 LS_STEPS = 12  # candidate step sizes 2^0 .. 2^-(LS_STEPS-1)
 ARMIJO_C = 1e-4
@@ -140,7 +140,18 @@ def _pcg_solve(H, b, iters=CG_ITERS):
     return x
 
 
-def _newton_step(params, mu, s, f0, Bf, yv, w, alpha, epsilon, kmask, tol):
+def _data_grad_hess(Bf, s, yv, w):
+    """Data-term gradient and Gauss-Newton Hessian (one problem, XLA path)."""
+    t = yv * s
+    sig = jax.nn.sigmoid(-t)
+    term1 = -yv * sig * w
+    kappa = w * yv * yv * sig * (1.0 - sig)
+    g = jnp.dot(Bf.T, term1, precision=HIGHEST)
+    H = jnp.einsum('pi,p,pj->ij', Bf, kappa, Bf, precision=HIGHEST)
+    return g, H
+
+
+def _newton_step(params, mu, s, f0, g, H, Bf, yv, w, alpha, epsilon, kmask, tol):
     """One Levenberg-Marquardt-damped Newton iteration.
 
     The Gauss-Newton Hessian of the logistic term is near-singular along
@@ -149,16 +160,10 @@ def _newton_step(params, mu, s, f0, Bf, yv, w, alpha, epsilon, kmask, tol):
     a per-problem relative damping factor: decreased after accepted steps,
     increased when no line-search step improves the energy. The surface ``s``
     and energy ``f0`` are carried between iterations (the surface is affine
-    in the parameters), saving one (P, n) matvec per iteration.
+    in the parameters); the data-term ``g``/``H`` come precomputed (fused
+    Pallas kernel on TPU, XLA einsum otherwise).
     """
     n = params.shape[0]
-    t = yv * s
-    sig = jax.nn.sigmoid(-t)
-    term1 = -yv * sig * w
-    kappa = w * yv * yv * sig * (1.0 - sig)
-
-    g = jnp.dot(Bf.T, term1, precision=HIGHEST)
-    H = jnp.einsum('pi,p,pj->ij', Bf, kappa, Bf, precision=HIGHEST)
     if n > 6:
         reg, reg_g, reg_h = _reg_terms(params, alpha, epsilon, kmask)
         g = (g + reg_g) * jnp.concatenate([jnp.ones(6, params.dtype), kmask])
@@ -246,7 +251,17 @@ def _solve_batch_impl(params0, Q, G, yv, w, alpha, epsilon, kmask, maxiter, tol)
     B = params0.shape[0]
     Bf = jax.vmap(_features, in_axes=(0, 0 if G is not None else None))(Q, G)
     step = jax.vmap(_newton_step,
-                    in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, 0, None))
+                    in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, 0, None))
+
+    from .pallas_kernels import fused_grad_hess_batched, pallas_available
+    n_total = params0.shape[1]
+    use_pallas = (pallas_available() and n_total % 128 == 0
+                  and Bf.shape[1] % 256 == 0)
+
+    def grad_hess_b(s):
+        if use_pallas:
+            return fused_grad_hess_batched(Bf, s, yv, w)
+        return jax.vmap(_data_grad_hess)(Bf, s, yv, w)
 
     def cond(state):
         it, params, conv, fval, mu, s = state
@@ -254,8 +269,9 @@ def _solve_batch_impl(params0, Q, G, yv, w, alpha, epsilon, kmask, maxiter, tol)
 
     def body(state):
         it, params, conv, fval, mu, s = state
+        g_b, H_b = grad_hess_b(s)
         new_params, new_s, new_f, new_conv, new_mu = step(
-            params, mu, s, fval, Bf, yv, w, alpha, epsilon, kmask, tol)
+            params, mu, s, fval, g_b, H_b, Bf, yv, w, alpha, epsilon, kmask, tol)
         params = jnp.where(conv[:, None], params, new_params)
         s = jnp.where(conv[:, None], s, new_s)
         fval = jnp.where(conv, fval, new_f)

@@ -31,7 +31,7 @@ DSM_CONFIG_DEFAULTS = {
     'smooth_mat_max_allocations': np.inf,
     'background_margin': 20,
     'cp_timeout': 300,
-    'newton_maxiter': 20,
+    'newton_maxiter': 50,
     'newton_tol': 1e-5,
 }
 

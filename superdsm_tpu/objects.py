@@ -220,7 +220,7 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
         smooth_amount=smooth_amount,
         gaussian_shape_multiplier=dsm_cfg.get('gaussian_shape_multiplier', 2),
         init=dsm_cfg.get('init', 'elliptical'),
-        maxiter=dsm_cfg.get('newton_maxiter', 20),
+        maxiter=dsm_cfg.get('newton_maxiter', 50),
         tol=dsm_cfg.get('newton_tol', 1e-5), out=out,
         progress_line=status_line[0])
 
