@@ -26,7 +26,7 @@ K_BUCKETS = [0, 26, 58, 122, 250, 506, 1018, 2042]  # 6+K = powers of two (tile-
 #: P, K) combination admits exactly TWO shapes (B=1 for single-problem
 #: rounds, B=cap otherwise) instead of a ladder of batch sizes. On CPU
 #: (tests), padded batch compute is paid for real, so the caps stay small.
-B_CAP_TPU = {2048: 64, 8192: 64, 32768: 16, 131072: 4, 524288: 2, 2097152: 1}
+B_CAP_TPU = {2048: 64, 8192: 64, 32768: 32, 131072: 8, 524288: 2, 2097152: 1}
 B_CAP_CPU = {2048: 8, 8192: 8, 32768: 4, 131072: 2, 524288: 1, 2097152: 1}
 
 
@@ -45,10 +45,11 @@ def _bucket(value, buckets):
 
 def _batch_shape(n_problems, pb):
     """Returns the padded batch size for ``n_problems`` problems of pixel
-    bucket ``pb`` — always the bucket's cap, so each (program, P, K)
-    combination has exactly ONE compiled shape. Padded batch compute is
-    bandwidth-cheap on TPU; compiles are minutes."""
-    return _b_cap(pb)
+    bucket ``pb``: 1 for singleton groups (a lone universe padded to the cap
+    wastes the whole batch) or the bucket's cap — exactly TWO compiled
+    shapes per (program, P, K). Padded batch compute is bandwidth-cheap on
+    TPU; compiles are minutes."""
+    return 1 if n_problems == 1 else _b_cap(pb)
 
 
 def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(26, 58, 122, 250),
