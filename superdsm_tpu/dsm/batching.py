@@ -52,7 +52,7 @@ def _batch_shape(n_problems, pb):
     return 1 if n_problems == 1 else _b_cap(pb)
 
 
-def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(26, 58, 122, 250),
+def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(26, 58, 122, 250, 506),
            maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, sigma=4.0, cutoff=16,
            threads=4):
     """Pre-compiles the solver programs for the given shape buckets.
@@ -75,9 +75,8 @@ def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(26, 58, 122, 250),
         pack_and_solve_poly(probs, (64, 64), params0=[None, None],
                             maxiter=maxiter, tol=tol, pb=pb, Bp=Bp)
 
-    def compile_dsm(pb, kb):
+    def compile_dsm(pb, kb, Bp):
         from .solver import _solve_dsm_packed
-        Bp = _b_cap(pb)
         PIXa = rng.randint(0, 50, (Bp, pb, 2)).astype(np.int16)
         _solve_dsm_packed(PIXa, np.zeros((Bp, 2), np.int32),
                           np.full(Bp, pb, np.int32),
@@ -92,8 +91,9 @@ def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(26, 58, 122, 250),
 
     with ThreadPoolExecutor(max_workers=threads) as pool:
         futures = [pool.submit(compile_poly, pb) for pb in pixel_buckets]
-        futures += [pool.submit(compile_dsm, pb, kb)
-                    for pb in pixel_buckets for kb in k_buckets]
+        futures += [pool.submit(compile_dsm, pb, kb, Bp)
+                    for pb in pixel_buckets for kb in k_buckets
+                    for Bp in (1, _b_cap(pb))]
         for fut in futures:
             fut.result()
 
