@@ -26,7 +26,7 @@ K_BUCKETS = [0, 26, 58, 122, 250, 506, 1018, 2042]  # 6+K = powers of two (tile-
 #: P, K) combination admits exactly TWO shapes (B=1 for single-problem
 #: rounds, B=cap otherwise) instead of a ladder of batch sizes. On CPU
 #: (tests), padded batch compute is paid for real, so the caps stay small.
-B_CAP_TPU = {2048: 64, 8192: 64, 32768: 32, 131072: 8, 524288: 2, 2097152: 1}
+B_CAP_TPU = {2048: 64, 8192: 64, 32768: 16, 131072: 8, 524288: 2, 2097152: 1}
 B_CAP_CPU = {2048: 8, 8192: 8, 32768: 4, 131072: 2, 524288: 1, 2097152: 1}
 
 
