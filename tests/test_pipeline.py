@@ -156,3 +156,32 @@ def test_warm_start_equivalence():
     masks_cold = sorted((tuple(o.fg_offset), int(o.fg_fragment.sum()))
                         for o in data_cold['postprocessed_objects'])
     assert masks_warm == masks_cold
+
+
+def test_three_atom_cluster_generations():
+    """Three touching nuclei in a row: one cluster with >= 3 atoms exercises
+    the generation loop (footprint growth, pruning, warm starts)."""
+    rng = np.random.RandomState(2)
+    H, W = 110, 160
+    rr, cc = np.indices((H, W))
+    g = np.zeros((H, W), np.float32)
+    for c0 in (40, 80, 120):
+        g += np.exp(-(((rr - 55) ** 2 + (cc - c0) ** 2) / (2 * 10.0 ** 2)))
+    g += rng.randn(H, W).astype(np.float32) * 0.02
+    pipeline = create_default_pipeline()
+    cfg = Config()
+    cfg['c2f-region-analysis/min_atom_radius'] = 5
+    cfg['global-energy-minimization/beta'] = 0.5
+    data, _, _ = pipeline.process_image(g, cfg)
+    adjacencies = data['adjacencies']
+    clusters = sorted(len(adjacencies.get_atoms_in_cluster(c))
+                      for c in adjacencies.cluster_labels)
+    assert clusters[-1] >= 3, clusters  # the row forms one multi-atom cluster
+    objects = data['postprocessed_objects']
+    assert len(objects) == 3
+    centers = sorted(tuple((o.fg_offset + np.array(o.fg_fragment.shape) / 2).round())
+                     for o in objects)
+    for (r, c), ec in zip(centers, (40, 80, 120)):
+        assert abs(r - 55) <= 4 and abs(c - ec) <= 4
+    # the generation machinery must have computed candidates beyond singletons
+    assert any(len(obj.footprint) > 1 for obj in data['objects'])
