@@ -12,4 +12,6 @@ through ``jax.sharding`` over a device :class:`~jax.sharding.Mesh`:
 """
 
 from .mesh import make_mesh, default_mesh  # noqa: F401
-from .newton import make_sharded_poly_solver  # noqa: F401
+from .newton import make_sharded_poly_solver, make_sharded_dsm_solver  # noqa: F401
+from .pipelined import process_images_pipelined  # noqa: F401
+from .mosaic import process_mosaic, rasterize_mosaic_labels  # noqa: F401
