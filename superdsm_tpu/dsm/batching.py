@@ -9,10 +9,16 @@ convex programs run per device step.
 """
 
 import math
+import os as _os
+import sys as _sys
+import time as _time
 from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
+
+#: Set SDSM_SOLVE_TELEMETRY=1 to print per-call dispatch/fetch timings.
+_TELEMETRY = _os.environ.get('SDSM_SOLVE_TELEMETRY') == '1'
 
 from .solver import solve_polynomial_batch, solve_dsm_batch, DEFAULT_MAXITER, DEFAULT_TOL
 from .smooth import prepare_deformation, smooth_matrix_params
@@ -45,11 +51,15 @@ def _bucket(value, buckets):
 
 def _batch_shape(n_problems, pb):
     """Returns the padded batch size for ``n_problems`` problems of pixel
-    bucket ``pb``: 1 for singleton groups (a lone universe padded to the cap
-    wastes the whole batch) or the bucket's cap — exactly TWO compiled
-    shapes per (program, P, K). Padded batch compute is bandwidth-cheap on
-    TPU; compiles are minutes."""
-    return 1 if n_problems == 1 else _b_cap(pb)
+    bucket ``pb``: the smallest power of two >= n_problems, capped at the
+    bucket's cap. Padding rows are dead compute for the whole Newton loop
+    (they converge immediately but still occupy batch rows in every op), so
+    a shape ladder beats the former two-shape (1, cap) scheme; the extra
+    compiles are one-time via the persistent compilation cache."""
+    b = 1
+    while b < min(n_problems, _b_cap(pb)):
+        b *= 2
+    return b
 
 
 def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(26, 58, 122, 250, 506),
@@ -64,15 +74,22 @@ def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(26, 58, 122, 250, 506),
     from concurrent.futures import ThreadPoolExecutor
     rng = np.random.RandomState(0)
 
-    def compile_poly(pb):
-        Bp = _b_cap(pb)
+    def _ladder(pb):
+        """All batch shapes :func:`_batch_shape` can produce for the bucket."""
+        sizes, b = [], 1
+        while b < _b_cap(pb):
+            sizes.append(b)
+            b *= 2
+        return sizes + [_b_cap(pb)]
+
+    def compile_poly(pb, Bp):
         probs = [Problem(pts=rng.randint(0, 50, (pb, 2)).astype(np.int32),
                          offset=np.zeros(2, np.int32), img_shape=(64, 64),
                          yv=rng.randn(pb).astype(np.float32),
                          sub=np.zeros((0, 2), np.int32))
-                 for _ in range(2)]
+                 for _ in range(min(2, Bp))]
         from .solver import pack_and_solve_poly
-        pack_and_solve_poly(probs, (64, 64), params0=[None, None],
+        pack_and_solve_poly(probs, (64, 64), params0=[None] * len(probs),
                             maxiter=maxiter, tol=tol, pb=pb, Bp=Bp)
 
     def compile_dsm(pb, kb, Bp):
@@ -90,10 +107,11 @@ def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(26, 58, 122, 250, 506),
                           int(maxiter), float(tol), float(sigma), int(cutoff))
 
     with ThreadPoolExecutor(max_workers=threads) as pool:
-        futures = [pool.submit(compile_poly, pb) for pb in pixel_buckets]
+        futures = [pool.submit(compile_poly, pb, Bp)
+                   for pb in pixel_buckets for Bp in _ladder(pb)]
         futures += [pool.submit(compile_dsm, pb, kb, Bp)
                     for pb in pixel_buckets for kb in k_buckets
-                    for Bp in (1, _b_cap(pb))]
+                    for Bp in _ladder(pb)]
         for fut in futures:
             fut.result()
 
@@ -196,6 +214,7 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
     results = [None] * len(problems)
     if len(problems) == 0:
         return results
+    _t_start = _time.time()
 
     _, cutoff = smooth_matrix_params(smooth_amount, gaussian_shape_multiplier)
     img_shape = problems[0].img_shape
@@ -264,6 +283,9 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                 if p.init_params is not None:
                     WARM[j, :6 + k] = p.init_params
                     USE_WARM[j] = True
+            # padding rows (CNT=0, result unused) must not defeat the
+            # all-warm elliptical skip inside _solve_dsm_packed
+            USE_WARM[len(chunk):] = USE_WARM[:len(chunk)].all()
             outs = _solve_dsm_packed(
                 PIXa, OFF, CNT, Y, denom, SUB, KM, WARM, USE_WARM,
                 np.full(Bp, alpha, np.float32), float(epsilon),
@@ -274,7 +296,16 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                                  f'{sum(len(c) for _, c, _ in pending)} / {len(problems)}')
 
     import jax
+    _t_fetch = _time.time()
     fetched = jax.device_get([outs for _, _, outs in pending])
+    if _TELEMETRY:
+        shapes = [(kind, len(chunk)) for kind, chunk, _ in pending]
+        print(f'[solve_problems] n={len(problems)} calls={len(pending)} '
+              f'dispatch={_t_fetch - _t_start:.3f}s fetch={_time.time() - _t_fetch:.3f}s '
+              f'groups={shapes} '
+              f'poly={sorted((pb, len(v)) for pb, v in poly_groups.items())} '
+              f'dsm={sorted((k, len(v)) for k, v in dsm_groups.items())}',
+              file=_sys.stderr, flush=True)
     for (kind, chunk, _), outs in zip(pending, fetched):
         if kind == 'poly':
             params, f, conv, fg = outs

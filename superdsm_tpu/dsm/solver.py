@@ -416,10 +416,22 @@ def _solve_dsm_packed(pix, off, cnt, y16, denom, sub, kmask, warm, use_warm,
     K = sub.shape[1]
     Q = _poly_basis(coords)
 
+    # The energy is convex (unique minimizer), so the elliptical phase only
+    # buys a good starting point. Generation-loop batches are fully
+    # warm-started from parent solutions; skip the 6-parameter solve entirely
+    # for those (a real XLA conditional — only one branch executes).
     kmask0 = jnp.zeros((B, 0), jnp.float32)
-    p_ell, f_ell, conv_ell, _, _ = _solve_batch_impl(
-        jnp.zeros((B, 6), jnp.float32), Q, None, yv, w,
-        jnp.zeros(B, jnp.float32), 1.0, kmask0, maxiter, tol)
+
+    def _run_ell(_):
+        p_ell, f_ell, _, _, _ = _solve_batch_impl(
+            jnp.zeros((B, 6), jnp.float32), Q, None, yv, w,
+            jnp.zeros(B, jnp.float32), 1.0, kmask0, maxiter, tol)
+        return p_ell, f_ell
+
+    def _skip_ell(_):
+        return jnp.zeros((B, 6), jnp.float32), jnp.full((B,), jnp.inf, jnp.float32)
+
+    p_ell, f_ell = jax.lax.cond(jnp.all(use_warm), _skip_ell, _run_ell, None)
 
     G = jax.vmap(lambda p, sb, km: build_smooth_matrix(p, sb, sigma, cutoff, km))(
         pixf, sub.astype(jnp.float32), kmask)
