@@ -59,17 +59,28 @@ class AtomAdjacencyGraph:
                 for u, v in np.unique(uv, axis=0):
                     pairs.add((int(u), int(v)))
 
-        for l0 in range(1, n_atoms + 1):
-            cc = (atoms == l0)
-            if not cc.any():
+        # per-atom cluster label from the first occurrence of each label
+        # (atoms lie within exactly one cluster); seeds map back to their atom
+        # by lookup — one pass instead of one full-frame scan per atom
+        uniq, first_idx = np.unique(atoms.ravel(), return_index=True)
+        cluster_flat = clusters.ravel()
+        present = set()
+        for u, fi in zip(uniq, first_idx):
+            if u == 0:
                 continue
-            cluster_label = int(clusters[cc][0])
+            l0 = int(u)
+            present.add(l0)
+            cluster_label = int(cluster_flat[fi])
             if cluster_label not in self._atoms_by_cluster:
                 self._atoms_by_cluster[cluster_label] = set()
             self._cluster_by_atom[l0] = cluster_label
             self._atoms_by_cluster[cluster_label] |= {l0}
-            self._seeds[l0] = _find_seed_of_region(cc, seeds)
-            out.intermediate(f'Processed atom {l0} / {n_atoms}')
+        for seed in seeds:
+            l0 = int(atoms[tuple(seed)])
+            assert l0 in present and l0 not in self._seeds, \
+                f'There is no (unique) seed for atom {l0}'
+            self._seeds[l0] = tuple(seed)
+        assert set(self._seeds) == present, 'There is no (unique) seed'
         for u, v in pairs:
             if u in self._cluster_by_atom and v in self._cluster_by_atom:
                 self._adjacencies[u] |= {v}

@@ -67,16 +67,18 @@ def _watershed_split(region, *markers):
 
 
 def _normalize_labels_map(labels, first_label=0, skip_labels=[]):
-    result = np.zeros_like(labels)
+    """Renumbers labels consecutively from ``first_label`` (single LUT pass)."""
+    skip = set(skip_labels)
+    lut = np.zeros(int(labels.max()) + 1 if labels.size else 1, labels.dtype)
     label_translation = {}
     next_label = first_label
-    for old_label in sorted(np.unique(labels.reshape(-1))):
-        if old_label in skip_labels:
+    for old_label in np.unique(labels.reshape(-1)):
+        if old_label in skip:
             continue
-        result[labels == old_label] = next_label
+        lut[old_label] = next_label
         label_translation[old_label] = next_label
         next_label += 1
-    return result, label_translation
+    return lut[labels], label_translation
 
 
 def _hash_mask(mask):
@@ -302,13 +304,16 @@ class C2F_RegionAnalysis(Stage):
         fg_bd = np.logical_xor(fg_mask, binary_erosion(fg_mask, disk(1)))
         y_mask = np.ones(y.model.shape, bool)
         cluster_markers = ndi.label(fg_mask)[0]
-        for cluster_marker_label in np.unique(cluster_markers):
-            if cluster_marker_label == 0:
-                continue
-            cluster_marker = (cluster_markers == cluster_marker_label)
-            irregularity = fg_bd[cluster_marker].sum() / cluster_marker.sum()
-            if irregularity > max_cluster_marker_irregularity:
-                y_mask[cluster_marker] = False
+        # irregularity = boundary pixels / marker size, per label in one pass
+        n_markers = int(cluster_markers.max())
+        if n_markers:
+            sizes = np.bincount(cluster_markers.ravel(), minlength=n_markers + 1)
+            bd_counts = np.bincount(cluster_markers[fg_bd], minlength=n_markers + 1)
+            with np.errstate(divide='ignore', invalid='ignore'):
+                irregular = (bd_counts / np.maximum(sizes, 1)) > max_cluster_marker_irregularity
+            irregular[0] = False
+            if irregular.any():
+                y_mask[irregular[cluster_markers]] = False
 
         cluster_markers[~y_mask] = 0
         cluster_markers = _normalize_labels_map(cluster_markers, first_label=0)[0]

@@ -189,12 +189,34 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
     ring = _border_ring_coords(y.model.shape)
     ring_basis = polynomial_basis(ring)
 
+    # crop-first region construction: the union-of-atoms bbox comes from
+    # per-atom bounding boxes, so each candidate costs O(crop) instead of a
+    # full-frame isin + EDT pass (semantics of Object.get_cvxprog_region)
+    from .image import Image as _Image
+    adm = y.mask & (_background_distance(y) <= margin)
+    atom_slices = ndi.find_objects(atoms)
+
+    def _candidate_region(obj):
+        labels = list(obj.footprint)
+        boxes = [atom_slices[l - 1] for l in labels
+                 if 0 < l <= len(atom_slices) and atom_slices[l - 1] is not None]
+        if not boxes:
+            return None
+        r0 = min(b[0].start for b in boxes)
+        r1 = max(b[0].stop for b in boxes)
+        c0 = min(b[1].start for b in boxes)
+        c1 = max(b[1].stop for b in boxes)
+        sel = np.s_[r0:r1, c0:c1]
+        mask_crop = np.isin(atoms[sel], labels) & adm[sel]
+        return _Image(model=y.model[sel], mask=mask_crop, offset=(r0, c0))
+
     problems = []
     problem_obj_idx = []
     trivial = []
     for idx, obj in enumerate(objects):
-        region = obj.get_cvxprog_region(y, atoms, margin)
-        if (region.model[region.mask] > 0).sum() == 1:
+        region = _candidate_region(obj)
+        if region is None or not region.mask.any() \
+                or (region.model[region.mask] > 0).sum() == 1:
             # single-pixel foreground is just noise
             # (/root/reference/superdsm/objects.py:184-191)
             trivial.append(idx)

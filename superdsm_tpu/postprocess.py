@@ -97,10 +97,21 @@ class Postprocessing(Stage):
             c.fill_foreground(background_mask)
         background_mask = binary_erosion(~background_mask, disk(exterior_offset))
 
+        # per-atom pixel counts of the admissible cvxprog region (atoms are
+        # disjoint, so any footprint's region size is a sum of these)
+        from .objects import _background_distance
+        y_img = input_data['y_img']
+        atoms_map = input_data['atoms']
+        adm = y_img.mask & (_background_distance(y_img)
+                            <= input_data['dsm_cfg']['background_margin'])
+        atom_counts = np.bincount(atoms_map[adm].ravel(),
+                                  minlength=int(atoms_map.max()) + 1)
+
         params = {
             'y': input_data['y_img'],
             'g': g_raw,
             'atoms': input_data['atoms'],
+            'atom_counts': atom_counts,
             'background_margin': input_data['dsm_cfg']['background_margin'],
             'g_mask_processing': np.asarray(g_smooth_mask, np.float64),
             'g_glare_detection': np.asarray(g_smooth_glare, np.float64),
@@ -203,6 +214,17 @@ def _object_roi(obj, shape, pad):
     return np.s_[r0:r1, c0:c1]
 
 
+def _fragment_in_roi(obj, sel):
+    """The object's foreground mask within the ROI ``sel`` (which always
+    contains the fragment's bounding box), built without allocating a
+    full-frame mask."""
+    mask_sect = np.zeros((sel[0].stop - sel[0].start, sel[1].stop - sel[1].start), bool)
+    r = int(obj.fg_offset[0]) - sel[0].start
+    c = int(obj.fg_offset[1]) - sel[1].start
+    mask_sect[r: r + obj.fg_fragment.shape[0], c: c + obj.fg_fragment.shape[1]] = obj.fg_fragment
+    return mask_sect
+
+
 def _compute_contrast(obj, g, exterior_scale, exterior_offset, epsilon,
                       background_mask, g_std):
     """Interior mean over exponentially weighted exterior mean
@@ -211,9 +233,7 @@ def _compute_contrast(obj, g, exterior_scale, exterior_offset, epsilon,
     pad = int(math.ceil(exterior_offset + 5 * exterior_scale)) + 1
     sel = _object_roi(obj, g.shape, pad)
     g_sect = g[sel] / g_std
-    mask = np.zeros(g.shape, bool)
-    obj.fill_foreground(mask)
-    mask_sect = mask[sel]
+    mask_sect = _fragment_in_roi(obj, sel)
     interior_mean = g_sect[mask_sect].mean()
     exterior_distance_map = (ndi.distance_transform_edt(~mask_sect) - exterior_offset)
     exterior_distance_map = exterior_distance_map.clip(0, np.inf) / exterior_scale
@@ -248,9 +268,15 @@ def _is_glare(obj, g, min_layer=0.5, num_layers=5):
     return is_glare
 
 
-def _compute_norm_energy(obj, y, atoms, background_margin):
-    region = obj.original.get_cvxprog_region(y, atoms, background_margin)
-    return obj.original.energy / region.mask.sum()
+def _compute_norm_energy(obj, atom_counts):
+    """Energy over cvxprog-region pixel count. The region is the disjoint
+    union of the footprint's atoms intersected with the image mask and the
+    background-margin stripe (``Object.get_cvxprog_region``), so its pixel
+    count is the sum of precomputed per-atom counts — avoiding a full-frame
+    ``isin`` + EDT pass per object."""
+    count = int(atom_counts[list(obj.original.footprint)].sum())
+    with np.errstate(divide='ignore', invalid='ignore'):
+        return obj.original.energy / count if count else np.inf
 
 
 def _process_mask(obj, g, max_distance, stdamp, fill_holes=False):
@@ -264,9 +290,7 @@ def _process_mask(obj, g, max_distance, stdamp, fill_holes=False):
         return None, None
     pad = int(math.ceil(max_distance)) + 1
     sel = _object_roi(obj, g.shape, pad)
-    mask = np.zeros(g.shape, bool)
-    obj.fill_foreground(mask)
-    mask_sect = mask[sel]
+    mask_sect = _fragment_in_roi(obj, sel)
     g_sect = g[sel]
     fp = disk(max_distance)
     extra_mask_superset = np.logical_xor(binary_dilation(mask_sect, fp),
@@ -318,8 +342,7 @@ def _process_object(obj, params):
                              params['glare_detection_min_layer'],
                              params['glare_detection_num_layers'])
     wrapper = PostprocessedObject(obj)
-    norm_energy = _compute_norm_energy(wrapper, params['y'], params['atoms'],
-                                       params['background_margin'])
+    norm_energy = _compute_norm_energy(wrapper, params['atom_counts'])
     contrast_response = _compute_contrast(obj, params['g'], params['exterior_scale'],
                                           params['exterior_offset'],
                                           params['contrast_epsilon'],
