@@ -293,13 +293,13 @@ def _solve_batch_impl(params0, Q, G, yv, w, alpha, epsilon, kmask, maxiter, tol)
     return params, f_final, conv, it, s_final
 
 
-@functools.partial(jax.jit, static_argnames=('maxiter', 'tol'))
+@functools.partial(jax.jit, static_argnames=('tol',))
 def _solve_poly(params0, coords, yv, w, alpha, kmask6, maxiter, tol):
     Q = _poly_basis(coords)
     return _solve_batch_impl(params0, Q, None, yv, w, alpha, 1.0, kmask6, maxiter, tol)
 
 
-@functools.partial(jax.jit, static_argnames=('maxiter', 'tol', 'sigma', 'cutoff'))
+@functools.partial(jax.jit, static_argnames=('tol', 'sigma', 'cutoff'))
 def _solve_full(params0, coords, pix, sub, yv, w, alpha, epsilon, kmask,
                 maxiter, tol, sigma, cutoff):
     from .smooth import build_smooth_matrix
@@ -388,7 +388,7 @@ def _unpack_inputs(pix, off, cnt, y16, denom):
     return pixf, coords, yv, w
 
 
-@functools.partial(jax.jit, static_argnames=('maxiter', 'tol'))
+@functools.partial(jax.jit, static_argnames=('tol',))
 def _solve_poly_packed(pix, off, cnt, y16, denom, params0, maxiter, tol):
     """Packed 6-parameter solve; returns (params, energy, conv, fg uint8)."""
     _, coords, yv, w = _unpack_inputs(pix, off, cnt, y16, denom)
@@ -401,7 +401,7 @@ def _solve_poly_packed(pix, off, cnt, y16, denom, params0, maxiter, tol):
     return params, f, conv, fg
 
 
-@functools.partial(jax.jit, static_argnames=('maxiter', 'tol', 'sigma', 'cutoff'))
+@functools.partial(jax.jit, static_argnames=('tol', 'sigma', 'cutoff'))
 def _solve_dsm_packed(pix, off, cnt, y16, denom, sub, kmask, warm, use_warm,
                       alpha, epsilon, maxiter, tol, sigma, cutoff):
     """Packed combined elliptical + DSM solve (one dispatch).
