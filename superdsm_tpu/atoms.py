@@ -55,26 +55,29 @@ class AtomAdjacencyGraph:
             # neighbor must be foreground of the same cluster, labels differ
             sel = (a != b) & (a > 0) & (b > 0) & ((fb == ca) | (fa == clusters[dr:, dc:]))
             if sel.any():
-                uv = np.stack([a[sel], b[sel]], axis=-1)
-                for u, v in np.unique(uv, axis=0):
-                    pairs.add((int(u), int(v)))
+                # dedup via scalar keys (np.unique over rows sorts rows —
+                # much slower than over an int64 vector)
+                keys = np.unique(a[sel].astype(np.int64) * (n_atoms + 1) + b[sel])
+                for key in keys:
+                    pairs.add((int(key // (n_atoms + 1)), int(key % (n_atoms + 1))))
 
-        # per-atom cluster label from the first occurrence of each label
-        # (atoms lie within exactly one cluster); seeds map back to their atom
-        # by lookup — one pass instead of one full-frame scan per atom
-        uniq, first_idx = np.unique(atoms.ravel(), return_index=True)
-        cluster_flat = clusters.ravel()
+        # per-atom cluster label in one labeled pass (atoms lie within exactly
+        # one cluster, so the labeled minimum IS the label); seeds map back to
+        # their atom by lookup — no full-frame scan per atom
+        import scipy.ndimage as ndi
+        present_labels = np.flatnonzero(np.bincount(
+            atoms.ravel(), minlength=n_atoms + 1))
+        present_labels = present_labels[present_labels > 0]
         present = set()
-        for u, fi in zip(uniq, first_idx):
-            if u == 0:
-                continue
-            l0 = int(u)
-            present.add(l0)
-            cluster_label = int(cluster_flat[fi])
-            if cluster_label not in self._atoms_by_cluster:
-                self._atoms_by_cluster[cluster_label] = set()
-            self._cluster_by_atom[l0] = cluster_label
-            self._atoms_by_cluster[cluster_label] |= {l0}
+        if len(present_labels):
+            cluster_of = ndi.minimum(clusters, labels=atoms, index=present_labels)
+            for l0, cluster_label in zip(present_labels, cluster_of):
+                l0, cluster_label = int(l0), int(cluster_label)
+                present.add(l0)
+                if cluster_label not in self._atoms_by_cluster:
+                    self._atoms_by_cluster[cluster_label] = set()
+                self._cluster_by_atom[l0] = cluster_label
+                self._atoms_by_cluster[cluster_label] |= {l0}
         for seed in seeds:
             l0 = int(atoms[tuple(seed)])
             assert l0 in present and l0 not in self._seeds, \

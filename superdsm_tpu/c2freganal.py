@@ -72,7 +72,7 @@ def _normalize_labels_map(labels, first_label=0, skip_labels=[]):
     lut = np.zeros(int(labels.max()) + 1 if labels.size else 1, labels.dtype)
     label_translation = {}
     next_label = first_label
-    for old_label in np.unique(labels.reshape(-1)):
+    for old_label in np.flatnonzero(np.bincount(labels.reshape(-1), minlength=1)):
         if old_label in skip:
             continue
         lut[old_label] = next_label
@@ -324,7 +324,8 @@ class C2F_RegionAnalysis(Stage):
         atoms_map = np.full(y.model.shape, 0)
         atom_candidate_by_label = {}
 
-        cluster_labels = sorted(frozenset(clusters.reshape(-1)) - {0})
+        cluster_labels = [int(l) for l in np.flatnonzero(
+            np.bincount(clusters.reshape(-1), minlength=1)) if l != 0]
         workers = {}
         clusters_by_label = {}
         for cluster_label in cluster_labels:

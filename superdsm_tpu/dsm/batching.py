@@ -83,7 +83,7 @@ def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(26, 58, 122, 250, 506),
         return sizes + [_b_cap(pb)]
 
     def compile_poly(pb, Bp):
-        probs = [Problem(pts=rng.randint(0, 50, (pb, 2)).astype(np.int32),
+        probs = [Problem(pts=rng.randint(0, 50, (pb, 2)).astype(np.int16),
                          offset=np.zeros(2, np.int32), img_shape=(64, 64),
                          yv=rng.randn(pb).astype(np.float32),
                          sub=np.zeros((0, 2), np.int32))
@@ -97,7 +97,8 @@ def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(26, 58, 122, 250, 506),
         PIXa = rng.randint(0, 50, (Bp, pb, 2)).astype(np.int16)
         _solve_dsm_packed(PIXa, np.zeros((Bp, 2), np.int32),
                           np.full(Bp, pb, np.int32),
-                          rng.randn(Bp, pb).astype(np.float16),
+                          rng.randint(-32767, 32767, (Bp, pb)).astype(np.int16),
+                          np.ones(Bp, np.float32),
                           np.array([63.0, 63.0], np.float32),
                           rng.randint(0, 50, (Bp, kb, 2)).astype(np.int16),
                           np.ones((Bp, kb), np.float32),
@@ -120,7 +121,8 @@ def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(26, 58, 122, 250, 506),
 class Problem:
     """One region-level convex program.
 
-    :ivar pts: (P, 2) int32 crop-local pixel coordinates of the region mask.
+    :ivar pts: (P, 2) int16 crop-local pixel coordinates of the region mask
+        (already in the packed transfer dtype, so batch packing is a memcpy).
     :ivar offset: (2,) crop offset within the full image.
     :ivar img_shape: full-image shape (coordinates are normalized by it).
     :ivar yv: (P,) offset image intensities at the pixels.
@@ -149,9 +151,28 @@ class Problem:
     def n_deform(self):
         return len(self.sub)
 
+    @property
+    def yscale(self):
+        """Per-problem quantization scale max|yv| (cached)."""
+        s = getattr(self, '_yscale', None)
+        if s is None:
+            s = float(np.abs(self.yv).max()) if len(self.yv) else 1.0
+            s = s if s > 0 else 1.0
+            self._yscale = s
+        return s
+
+    @property
+    def yq(self):
+        """int16-quantized intensities (yv ~ yq * yscale / 32767; cached)."""
+        q = getattr(self, '_yq', None)
+        if q is None:
+            q = np.round(self.yv * (32767.0 / self.yscale)).astype(np.int16)
+            self._yq = q
+        return q
+
     def norm_coords(self):
         denom = np.maximum(np.asarray(self.img_shape, np.float32) - 1.0, 1.0)
-        return (self.pts + np.asarray(self.offset)[None, :]).astype(np.float32) / denom[None, :]
+        return (self.pts.astype(np.float32) + np.asarray(self.offset)[None, :]) / denom[None, :]
 
 
 @dataclass
@@ -183,7 +204,7 @@ def make_problem(region, img_shape=None, smooth_amount=np.inf,
         raise ValueError('empty region mask')
     _, sel = _bbox(mask)
     mask_crop = mask[sel]
-    pts = np.argwhere(mask_crop).astype(np.int32)
+    pts = np.argwhere(mask_crop).astype(np.int16)
     offset = np.array([sel[0].start + (region.offset[0] if region.offset is not None else 0),
                        sel[1].start + (region.offset[1] if region.offset is not None else 0)],
                       np.int32)
@@ -266,7 +287,8 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
             PIXa = np.zeros((Bp, pb, 2), np.int16)
             OFF = np.zeros((Bp, 2), np.int32)
             CNT = np.zeros((Bp,), np.int32)
-            Y = np.zeros((Bp, pb), np.float16)
+            YQ = np.zeros((Bp, pb), np.int16)
+            YS = np.zeros((Bp,), np.float32)
             SUB = np.full((Bp, kb, 2), -10 * (cutoff + 1), np.int16)
             KM = np.zeros((Bp, kb), np.float32)
             WARM = np.zeros((Bp, 6 + kb), np.float32)
@@ -277,7 +299,8 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                 PIXa[j, :npix] = p.pts
                 OFF[j] = p.offset
                 CNT[j] = npix
-                Y[j, :npix] = p.yv.astype(np.float16)
+                YQ[j, :npix] = p.yq
+                YS[j] = p.yscale
                 SUB[j, :k] = p.sub
                 KM[j, :k] = 1.0
                 if p.init_params is not None:
@@ -287,7 +310,7 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
             # all-warm elliptical skip inside _solve_dsm_packed
             USE_WARM[len(chunk):] = USE_WARM[:len(chunk)].all()
             outs = _solve_dsm_packed(
-                PIXa, OFF, CNT, Y, denom, SUB, KM, WARM, USE_WARM,
+                PIXa, OFF, CNT, YQ, YS, denom, SUB, KM, WARM, USE_WARM,
                 np.full(Bp, alpha, np.float32), float(epsilon),
                 int(maxiter), float(tol), float(smooth_amount), int(cutoff))
             pending.append(('dsm', chunk, outs))

@@ -378,20 +378,24 @@ def solve_dsm_batch(coords, pix, sub, kmask, yv, w, params0, alpha, epsilon,
 # shared tensors) instead of two phases.
 # ---------------------------------------------------------------------------
 
-def _unpack_inputs(pix, off, cnt, y16, denom):
+def _unpack_inputs(pix, off, cnt, yq, yscale, denom):
+    """Rebuilds float inputs from the packed transfer format: int16 pixel
+    coordinates and int16-quantized intensities (yv = yq * yscale / 32767 —
+    numpy float16 casts are scalar code on the host, int16 is SIMD, and the
+    quantization error ~3e-5 of the per-problem range is far below float16)."""
     pixf = pix.astype(jnp.float32)
     coords = (pixf + off.astype(jnp.float32)[:, None, :]) * (1.0 / denom)[None, None, :]
     P = pix.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     w = (col < cnt[:, None]).astype(jnp.float32)
-    yv = y16.astype(jnp.float32)
+    yv = yq.astype(jnp.float32) * (yscale * (1.0 / 32767.0))[:, None]
     return pixf, coords, yv, w
 
 
 @functools.partial(jax.jit, static_argnames=('tol',))
-def _solve_poly_packed(pix, off, cnt, y16, denom, params0, maxiter, tol):
+def _solve_poly_packed(pix, off, cnt, yq, yscale, denom, params0, maxiter, tol):
     """Packed 6-parameter solve; returns (params, energy, conv, fg uint8)."""
-    _, coords, yv, w = _unpack_inputs(pix, off, cnt, y16, denom)
+    _, coords, yv, w = _unpack_inputs(pix, off, cnt, yq, yscale, denom)
     Q = _poly_basis(coords)
     kmask0 = jnp.zeros((pix.shape[0], 0), jnp.float32)
     alpha = jnp.zeros(pix.shape[0], jnp.float32)
@@ -402,7 +406,7 @@ def _solve_poly_packed(pix, off, cnt, y16, denom, params0, maxiter, tol):
 
 
 @functools.partial(jax.jit, static_argnames=('tol', 'sigma', 'cutoff'))
-def _solve_dsm_packed(pix, off, cnt, y16, denom, sub, kmask, warm, use_warm,
+def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_warm,
                       alpha, epsilon, maxiter, tol, sigma, cutoff):
     """Packed combined elliptical + DSM solve (one dispatch).
 
@@ -411,7 +415,7 @@ def _solve_dsm_packed(pix, off, cnt, y16, denom, sub, kmask, warm, use_warm,
     Returns (params, energy, energy_elliptical, conv, fg uint8).
     """
     from .smooth import build_smooth_matrix
-    pixf, coords, yv, w = _unpack_inputs(pix, off, cnt, y16, denom)
+    pixf, coords, yv, w = _unpack_inputs(pix, off, cnt, yq, yscale, denom)
     B, P = pix.shape[:2]
     K = sub.shape[1]
     Q = _poly_basis(coords)
@@ -458,18 +462,20 @@ def _pack_poly_group(problems, img_shape, params0=None,
     PIX = np.zeros((Bp, pb, 2), np.int16)
     OFF = np.zeros((Bp, 2), np.int32)
     CNT = np.zeros((Bp,), np.int32)
-    Y = np.zeros((Bp, pb), np.float16)
+    YQ = np.zeros((Bp, pb), np.int16)
+    YS = np.zeros((Bp,), np.float32)
     P0 = np.zeros((Bp, 6), np.float32)
     for j, p in enumerate(problems):
         npix = p.n_pixels
         PIX[j, :npix] = p.pts
         OFF[j] = p.offset
         CNT[j] = npix
-        Y[j, :npix] = p.yv.astype(np.float16)
+        YQ[j, :npix] = p.yq
+        YS[j] = p.yscale
         if params0 is not None and params0[j] is not None:
             P0[j] = params0[j][:6]
     denom = np.maximum(np.asarray(img_shape, np.float32) - 1.0, 1.0)
-    return _solve_poly_packed(PIX, OFF, CNT, Y, denom, P0, int(maxiter), float(tol))
+    return _solve_poly_packed(PIX, OFF, CNT, YQ, YS, denom, P0, int(maxiter), float(tol))
 
 
 def pack_and_solve_poly(problems, img_shape, params0=None,
