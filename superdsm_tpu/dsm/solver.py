@@ -246,6 +246,28 @@ def _newton_step(params, mu, s, f0, g, H, Bf, yv, w, alpha, epsilon, kmask, tol)
     return new_params, new_s, new_f, converged, new_mu
 
 
+def _lsq_init(Q, yv, w, margin=2.0, ridge=1e-6):
+    """Closed-form elliptical initialization: ridge regression of the
+    polynomial surface onto ``margin * sign(y)``. One batched 6x6 solve —
+    practically free next to a Newton iteration — that starts the logistic
+    minimization at a separating surface instead of zeros."""
+    z = margin * jnp.sign(yv) * w
+    A = jnp.einsum('bpi,bp,bpj->bij', Q, w, Q, precision=HIGHEST)
+    A = A + ridge * jnp.trace(A, axis1=1, axis2=2)[:, None, None] * \
+        jnp.eye(6, dtype=Q.dtype)[None]
+    b = jnp.einsum('bpi,bp->bi', Q, z, precision=HIGHEST)
+    theta = jnp.linalg.solve(A, b[..., None])[..., 0]
+    return jnp.where(jnp.isfinite(theta), theta, 0.0)
+
+
+def _better_of(Q, yv, w, theta_a, theta_b):
+    """Per-problem pick of the lower-logistic-energy 6-parameter start."""
+    def f_of(theta):
+        s = jnp.einsum('bpi,bi->bp', Q, theta, precision=HIGHEST)
+        return jnp.sum(w * jax.nn.softplus(-yv * s), axis=1)
+    return jnp.where((f_of(theta_b) < f_of(theta_a))[:, None], theta_b, theta_a)
+
+
 def _solve_batch_impl(params0, Q, G, yv, w, alpha, epsilon, kmask, maxiter, tol):
     """Batch Newton driver: while_loop with per-problem freeze."""
     B = params0.shape[0]
@@ -399,6 +421,7 @@ def _solve_poly_packed(pix, off, cnt, yq, yscale, denom, params0, maxiter, tol):
     Q = _poly_basis(coords)
     kmask0 = jnp.zeros((pix.shape[0], 0), jnp.float32)
     alpha = jnp.zeros(pix.shape[0], jnp.float32)
+    params0 = _better_of(Q, yv, w, params0, _lsq_init(Q, yv, w))
     params, f, conv, it, s = _solve_batch_impl(params0, Q, None, yv, w, alpha,
                                                1.0, kmask0, maxiter, tol)
     fg = ((s > 0) & (w > 0)).astype(jnp.uint8)
@@ -428,7 +451,7 @@ def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_wa
 
     def _run_ell(_):
         p_ell, f_ell, _, _, _ = _solve_batch_impl(
-            jnp.zeros((B, 6), jnp.float32), Q, None, yv, w,
+            _lsq_init(Q, yv, w), Q, None, yv, w,
             jnp.zeros(B, jnp.float32), 1.0, kmask0, maxiter, tol)
         return p_ell, f_ell
 
