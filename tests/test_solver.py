@@ -166,3 +166,33 @@ def test_smooth_matrix_params():
     S, R = smooth_matrix_params(10, 2)
     assert S == 81 and R == 40
     assert smooth_matrix_params(np.inf, 2) == (0, 0)
+
+
+def test_quantized_intensity_roundtrip():
+    """The packed transfer format (int16 yq + per-problem scale) must
+    reconstruct intensities to ~3e-5 of the per-problem range."""
+    rng = np.random.RandomState(0)
+    yv = (rng.randn(500) * 0.3).astype(np.float32)
+    p = Problem(pts=np.zeros((500, 2), np.int16), offset=np.zeros(2, np.int32),
+                img_shape=(64, 64), yv=yv, sub=np.zeros((0, 2), np.int32))
+    recon = p.yq.astype(np.float32) * (p.yscale / 32767.0)
+    assert np.abs(recon - yv).max() <= p.yscale * 1.6e-5
+
+
+def test_lsq_init_separates_disk():
+    """The closed-form initialization alone must roughly separate a disk."""
+    from superdsm_tpu.dsm.solver import _lsq_init
+    H, W = 40, 40
+    rr, cc = np.indices((H, W))
+    disk = ((rr - 20.0) ** 2 + (cc - 20.0) ** 2) <= 10.0 ** 2
+    yv = disk.astype(np.float32) - 0.5
+    coords = np.stack([rr, cc], -1).reshape(1, -1, 2).astype(np.float32) / (H - 1.0)
+    Q = _poly_basis(jnp.asarray(coords))
+    theta = _lsq_init(Q, jnp.asarray(yv.reshape(1, -1)),
+                      jnp.ones((1, H * W), jnp.float32))
+    s = np.asarray(jnp.einsum('bpi,bi->bp', Q, theta)).reshape(H, W)
+    # least squares on imbalanced classes shrinks the positive region; the
+    # initializer only needs to land a centered ellipse for Newton to refine
+    iou = ((s > 0) & disk).sum() / ((s > 0) | disk).sum()
+    assert iou > 0.5
+    assert s[20, 20] > 0 and ((s > 0) & ~disk).sum() == 0
