@@ -331,16 +331,9 @@ class Task:
             out3 = out2.derive(margin=2, muted=(verbosity <= -int(not dry)))
             timings = self._load_timings()
             performance = PerformanceReport()
-            for file_idx, file_id in enumerate(self.file_ids):
-                img_filepath = str(self.img_pathpattern) % file_id
-                progress = file_idx / len(self.file_ids)
-                if report is not None:
-                    report.update(self, progress)
-                out3.write(Text.style(f'\n[{self._fmt_path(self.path)}] ',
-                                      Text.BLUE + Text.BOLD)
-                           + Text.style(f'Processing file: {img_filepath}', Text.BOLD)
-                           + f' ({100 * progress:.0f}%)')
-                kwargs = dict(img_filepath=img_filepath,
+
+            def _file_kwargs(file_id):
+                kwargs = dict(img_filepath=str(self.img_pathpattern) % file_id,
                               seg_filepath=_resolve_pathpattern(self.seg_pathpattern, file_id),
                               adj_filepath=_resolve_pathpattern(self.adj_pathpattern, file_id),
                               log_filepath=_resolve_pathpattern(self.log_pathpattern, file_id),
@@ -351,21 +344,73 @@ class Task:
                               seg_border=self.seg_border,
                               last_stage=self.last_stage,
                               cfg=self.config.copy())
-                if file_id not in data:
-                    data[file_id] = None
                 if self.last_stage is not None and \
                         pipeline.find(self.last_stage) < pipeline.find('postprocess'):
                     kwargs['seg_filepath'] = None
-                data[file_id], _timings = _process_file(dry, pipeline, data[file_id],
-                                                        first_stage=first_stage,
-                                                        out=out3, **kwargs)
-                if not dry:
-                    _compress_logs(kwargs['log_filepath'])
+                return kwargs
+
+            def _finish_file(file_id, result, _timings):
+                data[file_id] = result
                 if file_id not in timings:
                     timings[file_id] = {}
                 timings[file_id].update(_timings)
-                if not dry and data[file_id] is not None and 'performance' in data[file_id]:
-                    performance += data[file_id]['performance']
+                if not dry and result is not None and 'performance' in result:
+                    nonlocal_performance[0] += result['performance']
+
+            nonlocal_performance = [performance]
+            for file_id in self.file_ids:
+                if file_id not in data:
+                    data[file_id] = None
+
+            n_threads = int(os.environ.get('SUPERDSM_TPU_TASK_THREADS', '3'))
+            if not dry and n_threads > 1 and len(self.file_ids) > 1:
+                # host/device-overlapped file stream (superdsm_tpu.parallel.
+                # pipelined rationale): image i's host phases (watershed,
+                # combinatorics, rendering) run while image j's batched
+                # solves occupy the device. Each worker thread uses its own
+                # pipeline instance (__process_file mutates stage callbacks).
+                import threading
+                from concurrent.futures import ThreadPoolExecutor
+                local = threading.local()
+
+                def _worker(file_id):
+                    if not hasattr(local, 'pipeline'):
+                        local.pipeline = self._initialize()
+                    result, _timings = _process_file(
+                        dry, local.pipeline, data[file_id], first_stage=first_stage,
+                        out=out3.derive(muted=True), **_file_kwargs(file_id))
+                    _compress_logs(_resolve_pathpattern(self.log_pathpattern, file_id))
+                    return file_id, result, _timings
+
+                done = 0
+                with ThreadPoolExecutor(max_workers=n_threads) as pool:
+                    for file_id, result, _timings in pool.map(_worker, self.file_ids):
+                        _finish_file(file_id, result, _timings)
+                        done += 1
+                        if report is not None:
+                            report.update(self, done / len(self.file_ids))
+                        out3.write(Text.style(f'[{self._fmt_path(self.path)}] ',
+                                              Text.BLUE + Text.BOLD)
+                                   + f'Processed file: {str(self.img_pathpattern) % file_id}'
+                                   f' ({done} / {len(self.file_ids)})')
+            else:
+                for file_idx, file_id in enumerate(self.file_ids):
+                    progress = file_idx / len(self.file_ids)
+                    if report is not None:
+                        report.update(self, progress)
+                    out3.write(Text.style(f'\n[{self._fmt_path(self.path)}] ',
+                                          Text.BLUE + Text.BOLD)
+                               + Text.style(f'Processing file: '
+                                            f'{str(self.img_pathpattern) % file_id}', Text.BOLD)
+                               + f' ({100 * progress:.0f}%)')
+                    kwargs = _file_kwargs(file_id)
+                    result, _timings = _process_file(dry, pipeline, data[file_id],
+                                                     first_stage=first_stage,
+                                                     out=out3, **kwargs)
+                    if not dry:
+                        _compress_logs(kwargs['log_filepath'])
+                    _finish_file(file_id, result, _timings)
+            performance = nonlocal_performance[0]
             out2.write('')
             if report is not None:
                 report.update(self, 'active')
