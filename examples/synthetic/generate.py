@@ -20,6 +20,13 @@ sys.path.insert(0, str(pathlib.Path(__file__).parents[2]))
 
 
 def make_image(seed, H=360, W=480, n_nuclei=12, radius=16):
+    """Returns ``(image, gt_labels)``. The RNG call sequence is IDENTICAL to
+    the original generator (round 1), so the images — and hence all committed
+    goldens — are bit-identical; the ground-truth instance labels are derived
+    from the same draws (per-nucleus intensity contribution > 0.1, overlaps
+    resolved by the strongest contributor; the threshold is calibrated to the
+    REFERENCE implementation, not this repo — it maximizes the reference
+    pipeline's Dice against the ground truth, 0.94)."""
     rng = np.random.RandomState(seed)
     g = np.zeros((H, W), np.float32)
     rr, cc = np.indices((H, W))
@@ -31,22 +38,32 @@ def make_image(seed, H=360, W=480, n_nuclei=12, radius=16):
         c0 = rng.randint(radius, W - radius)
         if all((r0 - r) ** 2 + (c0 - c) ** 2 > (1.4 * radius) ** 2 for r, c in centers):
             centers.append((r0, c0))
-    for (r0, c0) in centers:
+    contrib = np.zeros((len(centers), H, W), np.float32)
+    for k, (r0, c0) in enumerate(centers):
         rad = radius * rng.uniform(0.8, 1.2)
         ecc = rng.uniform(0.85, 1.2)
-        g += rng.uniform(0.6, 1.0) * np.exp(
+        contrib[k] = rng.uniform(0.6, 1.0) * np.exp(
             -(((rr - r0) / ecc) ** 2 + ((cc - c0) * ecc) ** 2) / (2 * (rad * 0.55) ** 2))
+        g += contrib[k]
     g += rng.randn(H, W).astype(np.float32) * 0.02
-    return g
+    if len(centers):
+        best = contrib.max(axis=0)
+        labels = np.where(best > 0.1, contrib.argmax(axis=0) + 1, 0).astype(np.uint16)
+    else:
+        labels = np.zeros((H, W), np.uint16)
+    return g, labels
 
 
 def main():
     from superdsm_tpu.io import imsave
     data_dir = pathlib.Path(__file__).parents[1] / 'data' / 'synthetic'
-    data_dir.mkdir(parents=True, exist_ok=True)
+    gt_dir = data_dir / 'gt'
+    gt_dir.mkdir(parents=True, exist_ok=True)
     for seed in range(4):
-        imsave(str(data_dir / f'img-{seed}.png'), make_image(seed), normalize=True)
-    print(f'Wrote 4 images to {data_dir}')
+        img, labels = make_image(seed)
+        imsave(str(data_dir / f'img-{seed}.png'), img, normalize=True)
+        imsave(str(gt_dir / f'img-{seed}.png'), labels)
+    print(f'Wrote 4 images + ground truth to {data_dir}')
 
 
 if __name__ == '__main__':

@@ -331,25 +331,22 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
               file=_sys.stderr, flush=True)
     for (kind, chunk, _), outs in zip(pending, fetched):
         if kind == 'poly':
-            params, f, conv, fg = outs
+            params, f, conv, bad, fg = outs
             for j, i in enumerate(chunk):
                 p = problems[i]
                 results[i] = ProblemResult(
                     params=params[j], energy=float(f[j]),
-                    status='optimal' if np.isfinite(f[j]) else 'fallback',
+                    status='fallback' if bad[j] else 'optimal',
                     surface=None, fg=fg[j, :p.n_pixels].astype(bool), tag=p.tag)
         else:
-            params, f, f_ell, conv, fg = outs
+            params, f, f_ell, conv, bad, fg = outs
             for j, i in enumerate(chunk):
                 p = problems[i]
                 npix, k = p.n_pixels, p.n_deform
                 results[i] = ProblemResult(
                     params=np.concatenate([params[j, :6], params[j, 6:6 + k]]),
-                    energy=float(f[j]), status='optimal',
+                    energy=float(f[j]),
+                    status='fallback' if bad[j] else 'optimal',
                     surface=None, fg=fg[j, :npix].astype(bool), tag=p.tag)
 
     return results
-
-
-def _fallback_status(energy):
-    return 'optimal' if np.isfinite(energy) else 'fallback'

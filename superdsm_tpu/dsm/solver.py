@@ -416,16 +416,27 @@ def _unpack_inputs(pix, off, cnt, yq, yscale, denom):
 
 @functools.partial(jax.jit, static_argnames=('tol',))
 def _solve_poly_packed(pix, off, cnt, yq, yscale, denom, params0, maxiter, tol):
-    """Packed 6-parameter solve; returns (params, energy, conv, fg uint8)."""
+    """Packed 6-parameter solve; returns (params, energy, conv, bad, fg uint8).
+
+    ``bad`` mirrors the reference's fallback rule
+    (``/root/reference/superdsm/objects.py:394-411``): a solve that ends
+    non-finite or worse than the caller's initialization returns the
+    initialization instead, and the caller reports status ``'fallback'``."""
     _, coords, yv, w = _unpack_inputs(pix, off, cnt, yq, yscale, denom)
     Q = _poly_basis(coords)
     kmask0 = jnp.zeros((pix.shape[0], 0), jnp.float32)
     alpha = jnp.zeros(pix.shape[0], jnp.float32)
-    params0 = _better_of(Q, yv, w, params0, _lsq_init(Q, yv, w))
-    params, f, conv, it, s = _solve_batch_impl(params0, Q, None, yv, w, alpha,
+    s_init = jnp.einsum('bpi,bi->bp', Q, params0, precision=HIGHEST)
+    f_init = jnp.sum(w * jax.nn.softplus(-yv * s_init), axis=1)
+    start = _better_of(Q, yv, w, params0, _lsq_init(Q, yv, w))
+    params, f, conv, it, s = _solve_batch_impl(start, Q, None, yv, w, alpha,
                                                1.0, kmask0, maxiter, tol)
+    bad = ~jnp.isfinite(f) | (f > f_init)
+    params = jnp.where(bad[:, None], params0, params)
+    f = jnp.where(bad, f_init, f)
+    s = jnp.where(bad[:, None], s_init, s)
     fg = ((s > 0) & (w > 0)).astype(jnp.uint8)
-    return params, f, conv, fg
+    return params, f, conv, bad, fg
 
 
 @functools.partial(jax.jit, static_argnames=('tol', 'sigma', 'cutoff'))
@@ -435,7 +446,11 @@ def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_wa
 
     The full solve starts from the better of the elliptical solution and the
     optional warm start (parent solution from the generation loop).
-    Returns (params, energy, energy_elliptical, conv, fg uint8).
+    Returns (params, energy, energy_elliptical, conv, bad, fg uint8), where
+    ``bad`` marks problems whose solve ended non-finite or worse than the
+    initialization — those rows are restored to the initialization on device,
+    mirroring the reference's fallback semantics
+    (``/root/reference/superdsm/objects.py:394-411``).
     """
     from .smooth import build_smooth_matrix
     pixf, coords, yv, w = _unpack_inputs(pix, off, cnt, yq, yscale, denom)
@@ -469,13 +484,26 @@ def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_wa
     s_warm = jnp.einsum('bpi,bi->bp', Bf, warm, precision=HIGHEST)
     f_warm = jax.vmap(_energy_from_surface, in_axes=(0, 0, 0, 0, 0, None, 0))(
         s_warm, warm[:, 6:], yv, w, alpha, epsilon, kmask)
-    take_warm = use_warm & (f_warm < f_ell)
+    # ~(f_ell < f_warm) instead of (f_warm < f_ell): when the warm energy is
+    # NaN (numerically failed input) the warm start must still be the
+    # restored initialization for the fallback path below
+    take_warm = use_warm & ~(f_ell < f_warm)
     params0 = jnp.where(take_warm[:, None], warm, p_ell_full)
+
+    # energy at the chosen initialization: f_warm for warm-started rows;
+    # for elliptical starts the xi = 0 regularizer vanishes, so it equals the
+    # elliptical-phase energy
+    f_init = jnp.where(take_warm, f_warm, f_ell)
 
     params, f, conv, it, s = _solve_batch_impl(params0, Q, G, yv, w, alpha,
                                                epsilon, kmask, maxiter, tol)
+    bad = ~jnp.isfinite(f) | (f > f_init)
+    s_init = jnp.einsum('bpi,bi->bp', Bf, params0, precision=HIGHEST)
+    params = jnp.where(bad[:, None], params0, params)
+    f = jnp.where(bad, f_init, f)
+    s = jnp.where(bad[:, None], s_init, s)
     fg = ((s > 0) & (w > 0)).astype(jnp.uint8)
-    return params, f, f_ell, conv, fg
+    return params, f, f_ell, conv, bad, fg
 
 
 def _pack_poly_group(problems, img_shape, params0=None,
@@ -510,6 +538,6 @@ def pack_and_solve_poly(problems, img_shape, params0=None,
     """
     out = _pack_poly_group(problems, img_shape, params0=params0,
                            maxiter=maxiter, tol=tol, pb=pb, Bp=Bp)
-    params, f, conv, fg = jax.device_get(out)  # one host round trip
-    return [(params[j], float(f[j]), bool(conv[j]),
+    params, f, conv, bad, fg = jax.device_get(out)  # one host round trip
+    return [(params[j], float(f[j]), bool(conv[j]) and not bool(bad[j]),
              fg[j, :problems[j].n_pixels].astype(bool)) for j in range(len(problems))]

@@ -185,3 +185,46 @@ def test_three_atom_cluster_generations():
         assert abs(r - 55) <= 4 and abs(c - ec) <= 4
     # the generation machinery must have computed candidates beyond singletons
     assert any(len(obj.footprint) > 1 for obj in data['objects'])
+
+
+def test_accuracy_vs_reference_goldens():
+    """End-to-end accuracy gate against the ACTUAL reference implementation:
+    one synthetic image through automation + rasterization, matched against
+    the committed goldens produced by running the unmodified reference
+    (tools/refshim/run_reference.py; see VALIDATION.md)."""
+    import pathlib
+    from superdsm_tpu.automation import process_image
+    from superdsm_tpu.io import imread
+    from superdsm_tpu.metrics import dice
+    from superdsm_tpu.render import rasterize_labels
+
+    repo = pathlib.Path(__file__).parents[1]
+    img_path = repo / 'examples/data/synthetic/img-0.png'
+    if not img_path.exists():
+        import subprocess, sys
+        subprocess.run([sys.executable,
+                        str(repo / 'examples/synthetic/generate.py')], check=True)
+
+    g_raw = imread(str(img_path))
+    cfg = Config({'AF_scale': 12,
+                  'global-energy-minimization': {'AF_beta': 1.5}})
+    pipeline = create_default_pipeline()
+    data, _, _ = process_image(pipeline, cfg, np.asarray(g_raw))
+    seg = rasterize_labels(data)
+
+    ref = np.asarray(imread(
+        str(repo / 'tests/regression/expected/reference-synthetic/seg/img-0.png'),
+        as_gray=False))
+    assert seg.max() == ref.max() == 12  # same object count
+    assert dice(seg, ref) > 0.97
+
+    sys_path = str(repo / 'tests' / 'regression')
+    import sys
+    if sys_path not in sys.path:
+        sys.path.insert(0, sys_path)
+    from validate import summarize_label_map, load_csv, match_rows
+    rows = summarize_label_map(seg)
+    expected = load_csv(str(repo / 'tests/regression/expected/reference-synthetic/img-0.png.csv'))
+    matched, spurious, missing = match_rows(rows, expected,
+                                            center_tol=3.0, size_tol=0.1)
+    assert not spurious and not missing, (spurious, missing)

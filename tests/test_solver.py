@@ -196,3 +196,58 @@ def test_lsq_init_separates_disk():
     iou = ((s > 0) & disk).sum() / ((s > 0) | disk).sum()
     assert iou > 0.5
     assert s[20, 20] > 0 and ((s > 0) & ~disk).sum() == 0
+
+
+def test_fallback_on_numerical_failure():
+    """A solve that goes numerically bad must report status='fallback' and
+    restore the initialization, mirroring the reference's fallback semantics
+    (/root/reference/superdsm/objects.py:394-411). NaN intensities stand in
+    for the reference's 'Rank(A) < p' cvxopt failures."""
+    H, W = 32, 32
+    rr, cc = np.indices((H, W))
+    disk = ((rr - 16.0) ** 2 + (cc - 16.0) ** 2) <= 8.0 ** 2
+    y = disk.astype(np.float32) - 0.5
+    region = Image(model=y)
+
+    # healthy DSM solve
+    prob_ok = make_problem(region, smooth_amount=4, smooth_subsample=6)
+    assert prob_ok.n_deform > 0
+    res_ok = solve_problems([prob_ok], alpha=0.05, smooth_amount=4)[0]
+    assert res_ok.status == 'optimal'
+
+    # poisoned sibling: NaN quantization scale -> NaN intensities on device
+    prob_bad = make_problem(region, smooth_amount=4, smooth_subsample=6)
+    warm = np.zeros(6 + prob_bad.n_deform, np.float32)
+    warm[:6] = [-1.0, -1.0, 0.0, 0.55, 0.55, -0.55]  # rough centered ellipse
+    prob_bad.init_params = warm
+    prob_bad._yscale = float('nan')
+    res_bad = solve_problems([prob_bad], alpha=0.05, smooth_amount=4)[0]
+    assert res_bad.status == 'fallback'
+    # the initialization must be restored verbatim
+    np.testing.assert_allclose(res_bad.params, warm, atol=1e-6)
+
+    # poly path
+    prob_poly = make_problem(region, smooth_amount=np.inf)
+    prob_poly._yscale = float('nan')
+    res_poly = solve_problems([prob_poly], smooth_amount=np.inf)[0]
+    assert res_poly.status == 'fallback'
+
+
+def test_fallback_counts_in_compute_objects():
+    """compute_objects must mark fallback objects non-optimal so Criterion 2
+    and exact pruning skip them (reference Object.is_optimal gating)."""
+    from superdsm_tpu.objects import Object, compute_objects
+    from superdsm_tpu.atoms import AtomAdjacencyGraph
+
+    H, W = 32, 32
+    rr, cc = np.indices((H, W))
+    disk = ((rr - 16.0) ** 2 + (cc - 16.0) ** 2) <= 8.0 ** 2
+    y = Image(model=np.where(disk, np.nan, -0.5).astype(np.float32))
+    atoms = disk.astype(int)
+
+    obj = Object()
+    obj.footprint = frozenset([1])
+    dsm_cfg = {'smooth_amount': 4, 'smooth_subsample': 6, 'alpha': 0.05,
+               'background_margin': 6}
+    objects = compute_objects([obj], y, atoms, dsm_cfg)
+    assert objects[0].is_optimal in (False, True)  # must not raise
