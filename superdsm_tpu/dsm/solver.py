@@ -431,7 +431,10 @@ def _solve_poly_packed(pix, off, cnt, yq, yscale, denom, params0, maxiter, tol):
     start = _better_of(Q, yv, w, params0, _lsq_init(Q, yv, w))
     params, f, conv, it, s = _solve_batch_impl(start, Q, None, yv, w, alpha,
                                                1.0, kmask0, maxiter, tol)
-    bad = ~jnp.isfinite(f) | (f > f_init)
+    # like the reference, only a NON-converged solve that ended worse than
+    # its initialization falls back (status 'unknown' gate, objects.py:404);
+    # a converged one may exceed f_init by float32 recompute noise
+    bad = ~jnp.isfinite(f) | (~conv & (f > f_init))
     params = jnp.where(bad[:, None], params0, params)
     f = jnp.where(bad, f_init, f)
     s = jnp.where(bad[:, None], s_init, s)
@@ -497,7 +500,9 @@ def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_wa
 
     params, f, conv, it, s = _solve_batch_impl(params0, Q, G, yv, w, alpha,
                                                epsilon, kmask, maxiter, tol)
-    bad = ~jnp.isfinite(f) | (f > f_init)
+    # fallback only for non-converged-and-worse or non-finite solves,
+    # mirroring the reference's 'unknown'-status gate (objects.py:404)
+    bad = ~jnp.isfinite(f) | (~conv & (f > f_init))
     s_init = jnp.einsum('bpi,bi->bp', Bf, params0, precision=HIGHEST)
     params = jnp.where(bad[:, None], params0, params)
     f = jnp.where(bad, f_init, f)
