@@ -81,12 +81,12 @@ def main():
     n_throughput = max(n_images, 6)
     images = [make_image(seed)[0] for seed in range(n_throughput)]
     reps = []
-    for _ in range(2):  # min over repetitions: tunnel load varies run-to-run
+    for _ in range(3):  # median over repetitions: tunnel load varies run-to-run
         t0 = time.time()
         process_images_pipelined(create_default_pipeline, base_cfg, images,
                                  threads=3, out=out)
         reps.append((time.time() - t0) / n_throughput)
-    throughput = min(reps)
+    throughput = float(np.median(reps))
 
     result = {
         'metric': 'bbbc039like_sec_per_image_batch',
@@ -97,6 +97,7 @@ def main():
     print(json.dumps(result))
     print(f'# warmup {warmup_s:.1f}s; latency p50 {np.median(lat_times):.2f}s '
           f'{["%.2f" % t for t in lat_times]}; '
+          f'throughput reps {["%.2f" % r for r in reps]}; '
           f'objects/image ~{total_objects / max(1, n_images):.1f}', file=sys.stderr)
 
 

@@ -62,10 +62,72 @@ def _batch_shape(n_problems, pb):
     return b
 
 
-def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(26, 58, 122, 250, 506),
-           maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, sigma=4.0, cutoff=16,
-           threads=4):
-    """Pre-compiles the solver programs for the given shape buckets.
+def _shape_stats_path():
+    """Platform-scoped sidecar of the persistent compile cache recording the
+    (kind, P, K, B) program shapes actually dispatched, so warmup compiles
+    only shapes seen in practice instead of the full bucket ladder."""
+    import jax
+    cache_dir = jax.config.jax_compilation_cache_dir
+    if not cache_dir:
+        return None
+    return _os.path.join(cache_dir, 'sdsm_shapes.json')
+
+
+_RECORDED_SHAPES = set()
+
+
+def _record_shapes(entries):
+    """Merges newly seen program shapes into the stats sidecar (best effort)."""
+    import json
+    new = set(entries) - _RECORDED_SHAPES
+    if not new:
+        return
+    _RECORDED_SHAPES.update(new)
+    path = _shape_stats_path()
+    if path is None:
+        return
+    try:
+        known = set()
+        if _os.path.exists(path):
+            with open(path) as fp:
+                known = {tuple(e) for e in json.load(fp)}
+        merged = known | _RECORDED_SHAPES
+        if merged != known:
+            _os.makedirs(_os.path.dirname(path), exist_ok=True)
+            tmp = path + f'.tmp{_os.getpid()}'
+            with open(tmp, 'w') as fp:
+                json.dump(sorted(merged), fp)
+            _os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+def _warmup_shapes():
+    """Union of the shipped default shape list (observed on bench-like
+    workloads) and the shapes this machine has actually dispatched."""
+    import json
+    shapes = set()
+    default_path = _os.path.join(_os.path.dirname(__file__), 'warmup_shapes.json')
+    for path in (default_path, _shape_stats_path()):
+        if path and _os.path.exists(path):
+            try:
+                with open(path) as fp:
+                    shapes |= {tuple(e) for e in json.load(fp)}
+            except (OSError, ValueError):
+                pass
+    return shapes
+
+
+def warmup(shapes=None, maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, sigma=4.0,
+           cutoff=16, threads=8):
+    """Pre-compiles the solver programs for ``shapes`` — an iterable of
+    ``(kind, P, K, B)`` tuples, defaulting to the shapes observed in practice
+    (shipped ``warmup_shapes.json`` merged with this machine's dispatch
+    history). Unlisted shapes compile lazily on first use and enter both the
+    persistent compile cache and the local shape history.
+
+    Round 1 warmed the full bucket ladder (~134 programs, 150-370 s
+    warm-cache per process); the observed set is ~30 programs.
 
     Compilation requests are issued from a thread pool so a remote compile
     service can overlap them. Typical use: once per process before batch
@@ -73,14 +135,9 @@ def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(26, 58, 122, 250, 506),
     """
     from concurrent.futures import ThreadPoolExecutor
     rng = np.random.RandomState(0)
-
-    def _ladder(pb):
-        """All batch shapes :func:`_batch_shape` can produce for the bucket."""
-        sizes, b = [], 1
-        while b < _b_cap(pb):
-            sizes.append(b)
-            b *= 2
-        return sizes + [_b_cap(pb)]
+    if shapes is None:
+        shapes = _warmup_shapes()
+    shapes = sorted(set(map(tuple, shapes)))
 
     def compile_poly(pb, Bp):
         probs = [Problem(pts=rng.randint(0, 50, (pb, 2)).astype(np.int16),
@@ -108,11 +165,12 @@ def warmup(pixel_buckets=(2048, 8192, 32768), k_buckets=(26, 58, 122, 250, 506),
                           int(maxiter), float(tol), float(sigma), int(cutoff))
 
     with ThreadPoolExecutor(max_workers=threads) as pool:
-        futures = [pool.submit(compile_poly, pb, Bp)
-                   for pb in pixel_buckets for Bp in _ladder(pb)]
-        futures += [pool.submit(compile_dsm, pb, kb, Bp)
-                    for pb in pixel_buckets for kb in k_buckets
-                    for Bp in _ladder(pb)]
+        futures = []
+        for kind, pb, kb, Bp in shapes:
+            if kind == 'poly':
+                futures.append(pool.submit(compile_poly, pb, Bp))
+            else:
+                futures.append(pool.submit(compile_dsm, pb, kb, Bp))
         for fut in futures:
             fut.result()
 
@@ -267,11 +325,13 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
     # the tunnel latency once instead of per group
     from .solver import _pack_poly_group
     pending = []  # (kind, chunk, device outputs)
+    dispatched_shapes = []
     for pb, idxs in sorted(poly_groups.items()):
         bmax = _b_cap(pb)
         for chunk_start in range(0, len(idxs), bmax):
             chunk = idxs[chunk_start: chunk_start + bmax]
             Bp = _batch_shape(len(chunk), pb)
+            dispatched_shapes.append(('poly', pb, 0, Bp))
             inits = [problems[i].init_params for i in chunk]
             outs = _pack_poly_group([problems[i] for i in chunk], img_shape,
                                     params0=inits, maxiter=maxiter, tol=tol,
@@ -284,6 +344,7 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
         for chunk_start in range(0, len(idxs), bmax):
             chunk = idxs[chunk_start: chunk_start + bmax]
             Bp = _batch_shape(len(chunk), pb)
+            dispatched_shapes.append(('dsm', pb, kb, Bp))
             PIXa = np.zeros((Bp, pb, 2), np.int16)
             OFF = np.zeros((Bp, 2), np.int32)
             CNT = np.zeros((Bp,), np.int32)
@@ -318,6 +379,7 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                 out.intermediate(f'{progress_line}... dispatched '
                                  f'{sum(len(c) for _, c, _ in pending)} / {len(problems)}')
 
+    _record_shapes(dispatched_shapes)
     import jax
     _t_fetch = _time.time()
     fetched = jax.device_get([outs for _, _, outs in pending])
