@@ -9,6 +9,19 @@ from the first stage whose configuration differs. The reference's per-task
 solver — but the fork-per-task isolation of the CLI is retained so one
 failing task cannot corrupt the queue.
 
+PROVENANCE / compatibility note: this module is deliberately a
+*behavior-compatible port*, not a redesign. The ``task.json`` schema, the
+on-disk artifact layout (``data.dill.gz``, ``.digest`` + ``.digest.cfg.json``,
+``timings.csv``/``.timings.json``, ``performance.csv``, ``env.csv``,
+tar-gzipped logs), the pickup rules, and the CLI flags ARE the compatibility
+surface a reference user depends on when switching frameworks — changing
+their structure would break existing task trees and tooling for no TPU
+benefit (this is host-side orchestration; the TPU-first redesign lives in
+the solver/pipeline layers). Where behavior could be improved without
+breaking the surface, it was: sorted-key config digests, threaded
+host/device-overlapped file processing (``SUPERDSM_TPU_TASK_THREADS``),
+``--no-fork``, and a testable ``run_cli``.
+
 CLI: ``python -m superdsm_tpu.batch <rootpath> --run``.
 """
 

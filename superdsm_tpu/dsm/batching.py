@@ -11,6 +11,7 @@ convex programs run per device step.
 import math
 import os as _os
 import sys as _sys
+import threading as _threading
 import time as _time
 from dataclasses import dataclass, field
 from typing import Optional
@@ -27,6 +28,23 @@ from .smooth import prepare_deformation, smooth_matrix_params
 P_BUCKETS = [2048, 8192, 32768, 131072, 524288, 2097152]
 #: Deformation-dimension buckets.
 K_BUCKETS = [0, 26, 58, 122, 250, 506, 1018, 2042]  # 6+K = powers of two (tile-aligned)
+
+#: Pixel count beyond which a region is solved on a uniform pixel subsample
+#: (weights rescaled; see ``solve_problems``) — the feature matrix
+#: [Q | G] of shape (P, 6+K) must stay within HBM.
+P_SUBSAMPLE_TARGET = 524288
+
+#: Largest admissible deformation dimension by region pixel count: caps the
+#: (P, 6+K) feature matrix at ~1 GB. ``make_problem`` widens the subsample
+#: stride until the grid fits (the reference instead lets G̃ grow without
+#: bound and throttles concurrent allocations with a POSIX semaphore,
+#: ``/root/reference/superdsm/_aux.py:63-96``).
+def _k_limit(n_pixels):
+    for pb, kl in [(8192, 2042), (32768, 2042), (131072, 1018),
+                   (524288, 506)]:
+        if n_pixels <= pb:
+            return kl
+    return 122
 #: Batch-size cap per pixel bucket. Every compile costs minutes through
 #: remote-compile tunnels, so the batch dimension is pinned: each (program,
 #: P, K) combination admits exactly TWO shapes (B=1 for single-problem
@@ -34,12 +52,87 @@ K_BUCKETS = [0, 26, 58, 122, 250, 506, 1018, 2042]  # 6+K = powers of two (tile-
 #: (tests), padded batch compute is paid for real, so the caps stay small.
 B_CAP_TPU = {2048: 64, 8192: 64, 32768: 16, 131072: 8, 524288: 2, 2097152: 1}
 B_CAP_CPU = {2048: 8, 8192: 8, 32768: 4, 131072: 2, 524288: 1, 2097152: 1}
+#: 6-parameter (deformation-free) programs are dispatch-bound, not
+#: compute-bound: their caps are larger so a c2f round fits in one call.
+B_CAP_POLY_TPU = {2048: 64, 8192: 64, 32768: 32, 131072: 8, 524288: 2,
+                  2097152: 1}
 
 
-def _b_cap(pb):
+def _on_cpu():
     import jax
-    caps = B_CAP_CPU if jax.default_backend() == 'cpu' else B_CAP_TPU
-    return caps[pb]
+    return jax.default_backend() == 'cpu'
+
+
+def _b_cap(pb, kind='dsm'):
+    if _on_cpu():
+        return B_CAP_CPU[pb]
+    return (B_CAP_POLY_TPU if kind == 'poly' else B_CAP_TPU)[pb]
+
+
+# ---------------------------------------------------------------------------
+# Multi-device routing. Two composable mechanisms:
+#  * a process-wide pipeline mesh: every bucket batch is sharded over the
+#    mesh 'batch' axis (candidate problems are independent, so XLA's SPMD
+#    partitioner splits the packed Newton programs with no communication
+#    beyond the tiny all-reduces of the batch-level early-exit conditions);
+#  * a per-thread device scope: a host thread (e.g. one mosaic tile per
+#    device) pins its solves to one device, so independent tiles run
+#    concurrently across chips.
+# ---------------------------------------------------------------------------
+
+_PIPELINE_MESH = None
+_THREAD_DEVICE = _threading.local()
+
+
+def set_pipeline_mesh(mesh):
+    """Routes all subsequent :func:`solve_problems` batches over ``mesh``'s
+    'batch' axis (pass ``None`` to restore single-device operation)."""
+    global _PIPELINE_MESH
+    if mesh is not None:
+        assert 'batch' in mesh.axis_names, "pipeline mesh needs a 'batch' axis"
+    _PIPELINE_MESH = mesh
+
+
+def get_pipeline_mesh():
+    return _PIPELINE_MESH
+
+
+class device_scope:
+    """Context manager pinning this thread's solves to one device."""
+
+    def __init__(self, device):
+        self.device = device
+
+    def __enter__(self):
+        self._prev = getattr(_THREAD_DEVICE, 'device', None)
+        _THREAD_DEVICE.device = self.device
+        return self
+
+    def __exit__(self, *exc):
+        _THREAD_DEVICE.device = self._prev
+
+
+def _mesh_batch_size(mesh):
+    return int(mesh.shape['batch']) if mesh is not None else 1
+
+
+def _make_placer():
+    """Returns ``(placer, min_batch)``: a function mapping packed host arrays
+    (leading batch dimension) onto devices, and the minimum padded batch size
+    it requires. Placement order: thread device scope > pipeline mesh > None
+    (jit default device)."""
+    import jax
+    device = getattr(_THREAD_DEVICE, 'device', None)
+    if device is not None:
+        return (lambda arr: jax.device_put(arr, device)), 1
+    mesh = _PIPELINE_MESH
+    if mesh is not None and _mesh_batch_size(mesh) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+        def placer(arr):
+            spec = PartitionSpec('batch', *([None] * (arr.ndim - 1)))
+            return jax.device_put(arr, NamedSharding(mesh, spec))
+        return placer, _mesh_batch_size(mesh)
+    return None, 1
 
 
 def _bucket(value, buckets):
@@ -49,7 +142,7 @@ def _bucket(value, buckets):
     raise ValueError(f'value {value} exceeds largest bucket {buckets[-1]}')
 
 
-def _batch_shape(n_problems, pb):
+def _batch_shape(n_problems, pb, kind='dsm'):
     """Returns the padded batch size for ``n_problems`` problems of pixel
     bucket ``pb``: the smallest power of two >= n_problems, capped at the
     bucket's cap. Padding rows are dead compute for the whole Newton loop
@@ -57,7 +150,7 @@ def _batch_shape(n_problems, pb):
     a shape ladder beats the former two-shape (1, cap) scheme; the extra
     compiles are one-time via the persistent compilation cache."""
     b = 1
-    while b < min(n_problems, _b_cap(pb)):
+    while b < min(n_problems, _b_cap(pb, kind)):
         b *= 2
     return b
 
@@ -200,6 +293,11 @@ class Problem:
     sub: np.ndarray
     tag: object = None
     init_params: Optional[np.ndarray] = None
+    #: Per-problem multiplier on the deformation weight alpha. Used by the
+    #: pixel-subsampled solve of oversized regions: scaling the data term by
+    #: 1/factor is equivalent to scaling alpha by 1/factor, which keeps the
+    #: minimizer of the subsampled energy aligned with the full energy.
+    alpha_scale: float = 1.0
 
     @property
     def n_pixels(self):
@@ -269,6 +367,13 @@ def make_problem(region, img_shape=None, smooth_amount=np.inf,
     yv = region.model[sel][mask_crop].astype(np.float32)
     sub = prepare_deformation(mask_crop, smooth_amount, gaussian_shape_multiplier,
                               smooth_subsample)
+    # adaptive stride guard: a huge region at the configured stride would
+    # overflow the K buckets (and HBM); widen the stride until the grid fits
+    stride = smooth_subsample
+    while len(sub) > _k_limit(len(pts)):
+        stride = int(math.ceil(stride * 1.5))
+        sub = prepare_deformation(mask_crop, smooth_amount,
+                                  gaussian_shape_multiplier, stride)
     return Problem(pts=pts, offset=offset, img_shape=tuple(img_shape), yv=yv,
                    sub=sub, tag=tag)
 
@@ -299,6 +404,27 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
     img_shape = problems[0].img_shape
     denom = np.maximum(np.asarray(img_shape, np.float32) - 1.0, 1.0)
 
+    # Regions beyond the largest pixel bucket are solved on a uniform pixel
+    # subsample: scaling the data term by 1/factor equals scaling alpha by
+    # 1/factor, so the minimizer tracks the full-region optimum and
+    # ``factor * energy`` estimates the full-region energy. The returned
+    # foreground is re-evaluated at EVERY mask pixel from the fitted surface
+    # (chunked device program). The reference handles such regions by letting
+    # G̃ grow without bound under a semaphore
+    # (``/root/reference/superdsm/dsm.py:145-161``).
+    problems = list(problems)
+    oversized = {}
+    for i, p in enumerate(problems):
+        if p.n_pixels > P_BUCKETS[-1]:
+            step = int(math.ceil(p.n_pixels / P_SUBSAMPLE_TARGET))
+            pts_sub = np.ascontiguousarray(p.pts[::step])
+            factor = p.n_pixels / float(len(pts_sub))
+            problems[i] = Problem(
+                pts=pts_sub, offset=p.offset, img_shape=p.img_shape,
+                yv=np.ascontiguousarray(p.yv[::step]), sub=p.sub, tag=p.tag,
+                init_params=p.init_params, alpha_scale=1.0 / factor)
+            oversized[i] = (factor, p)
+
     poly_groups = {}
     dsm_groups = {}
     for i, p in enumerate(problems):
@@ -320,22 +446,46 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
         if larger:
             dsm_groups[(pb, min(larger))].extend(dsm_groups.pop((pb, kb)))
 
+    # merge tiny leftover DSM groups into a larger (P, K) group: a couple of
+    # rows padded up a pixel bucket is cheaper than one more per-call tunnel
+    # floor (~30 ms)
+    for (pb, kb) in sorted(dsm_groups.keys()):
+        group = dsm_groups.get((pb, kb))
+        if group is None or len(group) > 2:
+            continue
+        targets = [(pb2, kb2) for (pb2, kb2) in dsm_groups
+                   if (pb2, kb2) != (pb, kb) and pb2 >= pb and kb2 >= kb]
+        if targets:
+            dsm_groups[min(targets)].extend(dsm_groups.pop((pb, kb)))
+
+    # 6-parameter solves are dispatch-bound on accelerators: pad a
+    # multi-bucket round up to ONE shared pixel bucket (<= 32768) so the
+    # whole round is a single program launch
+    if not _on_cpu() and len(poly_groups) > 1:
+        eligible = sorted(pb for pb in poly_groups if pb <= 32768)
+        if len(eligible) > 1:
+            target = eligible[-1]
+            for pb in eligible[:-1]:
+                poly_groups[target] = poly_groups.pop(pb) + \
+                    poly_groups.get(target, [])
+
     # dispatch every bucket group asynchronously, then fetch all results in
     # one host round trip — overlaps transfers with device compute and pays
     # the tunnel latency once instead of per group
     from .solver import _pack_poly_group
+    placer, min_b = _make_placer()
     pending = []  # (kind, chunk, device outputs)
     dispatched_shapes = []
     for pb, idxs in sorted(poly_groups.items()):
-        bmax = _b_cap(pb)
+        bmax = _b_cap(pb, 'poly')
         for chunk_start in range(0, len(idxs), bmax):
             chunk = idxs[chunk_start: chunk_start + bmax]
-            Bp = _batch_shape(len(chunk), pb)
+            Bp = max(_batch_shape(len(chunk), pb, 'poly'), min_b)
             dispatched_shapes.append(('poly', pb, 0, Bp))
             inits = [problems[i].init_params for i in chunk]
             outs = _pack_poly_group([problems[i] for i in chunk], img_shape,
                                     params0=inits, maxiter=maxiter, tol=tol,
-                                    pb=pb, Bp=Bp)
+                                    pb=pb, Bp=Bp, placer=placer)
             pending.append(('poly', chunk, outs))
 
     for (pb, kb), idxs in sorted(dsm_groups.items()):
@@ -343,7 +493,7 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
         bmax = _b_cap(pb)
         for chunk_start in range(0, len(idxs), bmax):
             chunk = idxs[chunk_start: chunk_start + bmax]
-            Bp = _batch_shape(len(chunk), pb)
+            Bp = max(_batch_shape(len(chunk), pb), min_b)
             dispatched_shapes.append(('dsm', pb, kb, Bp))
             PIXa = np.zeros((Bp, pb, 2), np.int16)
             OFF = np.zeros((Bp, 2), np.int32)
@@ -370,9 +520,16 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
             # padding rows (CNT=0, result unused) must not defeat the
             # all-warm elliptical skip inside _solve_dsm_packed
             USE_WARM[len(chunk):] = USE_WARM[:len(chunk)].all()
+            ALPHA = np.full(Bp, alpha, np.float32)
+            for j, i in enumerate(chunk):
+                ALPHA[j] *= problems[i].alpha_scale
+            if placer is not None:
+                PIXa, OFF, CNT, YQ, YS, SUB, KM, WARM, USE_WARM, ALPHA = map(
+                    placer, (PIXa, OFF, CNT, YQ, YS, SUB, KM, WARM, USE_WARM,
+                             ALPHA))
             outs = _solve_dsm_packed(
                 PIXa, OFF, CNT, YQ, YS, denom, SUB, KM, WARM, USE_WARM,
-                np.full(Bp, alpha, np.float32), float(epsilon),
+                ALPHA, float(epsilon),
                 int(maxiter), float(tol), float(smooth_amount), int(cutoff))
             pending.append(('dsm', chunk, outs))
             if out is not None:
@@ -410,5 +567,13 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                     energy=float(f[j]),
                     status='fallback' if bad[j] else 'optimal',
                     surface=None, fg=fg[j, :npix].astype(bool), tag=p.tag)
+
+    if oversized:
+        from .solver import evaluate_foreground
+        for i, (factor, orig) in oversized.items():
+            res = results[i]
+            res.energy = float(res.energy) * factor
+            res.fg = evaluate_foreground(orig, res.params,
+                                         float(smooth_amount), int(cutoff))
 
     return results

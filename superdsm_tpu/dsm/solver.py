@@ -113,20 +113,35 @@ MU_MAX = 1e6
 #: Cholesky — TPU Cholesky is a sequential panel algorithm and dominates the
 #: iteration cost at n ~ 500, while CG is pure batched matvecs.
 CHOLESKY_MAX_N = 300
-CG_ITERS = 24
+CG_MAX_ITERS = 64
+CG_RTOL = 1e-5
 
 
-def _pcg_solve(H, b, iters=CG_ITERS):
-    """Jacobi-preconditioned conjugate gradients for one SPD system."""
+def _pcg_solve(H, b, iters=CG_MAX_ITERS, rtol=CG_RTOL):
+    """Jacobi-preconditioned conjugate gradients for one SPD system.
+
+    Residual-based: iterates until ``||r|| <= rtol * ||b||`` or ``iters``
+    steps (under vmap the loop runs until every lane converges, with
+    converged lanes frozen). A slightly off Newton direction only costs
+    extra damped-Newton iterations — the line search and the LM damping
+    guard descent — but the quality gate in
+    ``tests/test_solver.py::test_cg_direction_matches_cholesky`` pins the
+    end-to-end effect to below the maxiter-sweep noise floor.
+    """
     dinv = 1.0 / jnp.diagonal(H)
     x = b * dinv
     r = b - H @ x
     z = r * dinv
     p = z
     rz = jnp.dot(r, z)
+    r2_stop = (rtol * rtol) * jnp.dot(b, b) + 1e-30
 
-    def body(i, state):
-        x, r, p, rz = state
+    def cond(state):
+        i, x, r, p, rz = state
+        return (i < iters) & (jnp.dot(r, r) > r2_stop)
+
+    def body(state):
+        i, x, r, p, rz = state
         Hp = H @ p
         a = rz / (jnp.dot(p, Hp) + 1e-30)
         x = x + a * p
@@ -134,9 +149,10 @@ def _pcg_solve(H, b, iters=CG_ITERS):
         z = r * dinv
         rz_new = jnp.dot(r, z)
         beta = rz_new / (rz + 1e-30)
-        return x, r, z + beta * p, rz_new
+        return i + 1, x, r, z + beta * p, rz_new
 
-    x, r, p, rz = jax.lax.fori_loop(0, iters, body, (x, r, p, rz))
+    _, x, r, p, rz = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), x, r, p, rz))
     return x
 
 
@@ -512,9 +528,11 @@ def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_wa
 
 
 def _pack_poly_group(problems, img_shape, params0=None,
-                     maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, pb=None, Bp=None):
+                     maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, pb=None, Bp=None,
+                     placer=None):
     """Packs one bucket batch and dispatches :func:`_solve_poly_packed`
-    WITHOUT fetching (async device outputs)."""
+    WITHOUT fetching (async device outputs). ``placer`` optionally maps the
+    packed arrays onto a device or mesh sharding (multi-chip routing)."""
     PIX = np.zeros((Bp, pb, 2), np.int16)
     OFF = np.zeros((Bp, 2), np.int32)
     CNT = np.zeros((Bp,), np.int32)
@@ -531,6 +549,8 @@ def _pack_poly_group(problems, img_shape, params0=None,
         if params0 is not None and params0[j] is not None:
             P0[j] = params0[j][:6]
     denom = np.maximum(np.asarray(img_shape, np.float32) - 1.0, 1.0)
+    if placer is not None:
+        PIX, OFF, CNT, YQ, YS, P0 = map(placer, (PIX, OFF, CNT, YQ, YS, P0))
     return _solve_poly_packed(PIX, OFF, CNT, YQ, YS, denom, P0, int(maxiter), float(tol))
 
 
@@ -546,3 +566,92 @@ def pack_and_solve_poly(problems, img_shape, params0=None,
     params, f, conv, bad, fg = jax.device_get(out)  # one host round trip
     return [(params[j], float(f[j]), bool(conv[j]) and not bool(bad[j]),
              fg[j, :problems[j].n_pixels].astype(bool)) for j in range(len(problems))]
+
+
+@functools.partial(jax.jit, static_argnames=('sigma', 'cutoff'))
+def _eval_fg_packed(pix, off, cnt, denom, sub, kmask, params, sigma, cutoff):
+    """Evaluates ``s(x) > 0`` of a fitted surface at packed pixels (one
+    chunk). Used to recover the full-resolution foreground of regions that
+    were solved on a pixel subsample."""
+    pixf = pix.astype(jnp.float32)
+    coords = (pixf + off.astype(jnp.float32)[None, :]) * (1.0 / denom)[None, :]
+    P = pix.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (P,), 0)
+    w = (idx < cnt).astype(jnp.float32)
+    Q = _poly_basis(coords)
+    s = Q @ params[:6]
+    if sub.shape[0] > 0:
+        from .smooth import build_smooth_matrix
+        G = build_smooth_matrix(pixf, sub.astype(jnp.float32), sigma, cutoff,
+                                kmask)
+        s = s + jnp.dot(G, params[6:] * kmask, precision=HIGHEST)
+    return ((s > 0) & (w > 0)).astype(jnp.uint8)
+
+
+def evaluate_foreground(problem, params, sigma, cutoff, chunk=524288):
+    """Full-resolution foreground of ``problem`` from fitted ``params``,
+    evaluated in pixel chunks on device (bounds the (P, K) smooth-matrix
+    slice regardless of region size)."""
+    from .batching import K_BUCKETS, _bucket
+    npix, k = problem.n_pixels, problem.n_deform
+    if k > 0 and np.isfinite(sigma):
+        kb = _bucket(max(k, 1), K_BUCKETS[1:])
+        SUB = np.full((kb, 2), -10 * (cutoff + 1), np.int16)
+        SUB[:k] = problem.sub
+        KM = np.zeros(kb, np.float32)
+        KM[:k] = 1.0
+        PAR = np.zeros(6 + kb, np.float32)
+        PAR[:6] = params[:6]
+        PAR[6:6 + k] = params[6:6 + k]
+    else:
+        kb = 0
+        SUB = np.zeros((0, 2), np.int16)
+        KM = np.zeros(0, np.float32)
+        PAR = np.asarray(params[:6], np.float32)
+    denom = np.maximum(np.asarray(problem.img_shape, np.float32) - 1.0, 1.0)
+    off = np.asarray(problem.offset, np.int32)
+    fg = np.zeros(npix, bool)
+    pending = []
+    for start in range(0, npix, chunk):
+        n = min(chunk, npix - start)
+        PIX = np.zeros((chunk, 2), np.int16)
+        PIX[:n] = problem.pts[start:start + n]
+        pending.append((start, n, _eval_fg_packed(
+            PIX, off, np.int32(n), denom, SUB, KM, PAR,
+            float(sigma) if np.isfinite(sigma) else 1.0, int(cutoff))))
+    for start, n, out in pending:
+        fg[start:start + n] = np.asarray(jax.device_get(out))[:n].astype(bool)
+    return fg
+
+
+def solve_problem_traced(problem, alpha=0.5, epsilon=1.0, smooth_amount=10,
+                         gaussian_shape_multiplier=2,
+                         maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL):
+    """Debug re-solve of ONE problem recording the energy after every Newton
+    iteration (the replacement for the reference's per-object Ray worker logs,
+    ``/root/reference/superdsm/objects.py:220-233``). Runs the batch solver at
+    increasing iteration caps — the traced ``maxiter`` is a runtime value, so
+    this reuses the already-compiled programs — and returns a dict with the
+    energy trace, convergence flag, and solution stats.
+    """
+    from .batching import solve_problems
+    from .smooth import smooth_matrix_params
+
+    trace = []
+    last = None
+    for it in range(0, maxiter + 1, max(1, maxiter // 16)):
+        res = solve_problems([problem], alpha=alpha, epsilon=epsilon,
+                             smooth_amount=smooth_amount,
+                             gaussian_shape_multiplier=gaussian_shape_multiplier,
+                             maxiter=max(it, 1), tol=tol)[0]
+        trace.append({'iterations': max(it, 1), 'energy': float(res.energy)})
+        last = res
+    return {
+        'n_pixels': int(problem.n_pixels),
+        'n_deform': int(problem.n_deform),
+        'status': last.status,
+        'energy': float(last.energy),
+        'params': np.asarray(last.params).tolist(),
+        'energy_trace': trace,
+        'warm_started': problem.init_params is not None,
+    }

@@ -6,6 +6,7 @@ fan-out (``/root/reference/superdsm/objects.py:215-284``) is replaced by
 batches solved on the TPU (see :mod:`superdsm_tpu.dsm.batching`).
 """
 
+import sys
 import time
 
 import numpy as np
@@ -276,11 +277,45 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
         if res.status == 'fallback':
             fallbacks += 1
 
+    # per-object debug dump: SDSM_DEBUG_FOOTPRINT="3" (or "2,7") re-solves
+    # the object with that exact footprint recording the energy after every
+    # few Newton iterations — the replacement for the reference's per-object
+    # Ray worker logs (/root/reference/superdsm/objects.py:220-233)
+    import os
+    debug_fp = os.environ.get('SDSM_DEBUG_FOOTPRINT')
+    if debug_fp:
+        wanted = frozenset(int(x) for x in debug_fp.split(',') if x.strip())
+        for prob, res in zip(problems, results):
+            obj = objects[prob.tag]
+            if frozenset(obj.footprint) != wanted:
+                continue
+            from .dsm.solver import solve_problem_traced
+            record = solve_problem_traced(
+                prob, alpha=dsm_cfg.get('alpha', 0.5),
+                epsilon=dsm_cfg.get('epsilon', 1.0),
+                smooth_amount=smooth_amount,
+                gaussian_shape_multiplier=dsm_cfg.get('gaussian_shape_multiplier', 2),
+                maxiter=dsm_cfg.get('newton_maxiter', 50),
+                tol=dsm_cfg.get('newton_tol', 1e-5))
+            record['footprint'] = sorted(obj.footprint)
+            record['batched_energy'] = float(res.energy)
+            record['batched_status'] = res.status
+            import json as _json
+            if log_root_dir is not None:
+                from ._aux import mkdir
+                mkdir(log_root_dir)
+                path = os.path.join(log_root_dir,
+                                    f'debug_object_{"_".join(map(str, sorted(wanted)))}.json')
+                with open(path, 'w') as fout:
+                    _json.dump(record, fout, indent=2)
+            else:
+                print(f'[SDSM_DEBUG_FOOTPRINT] {_json.dumps(record)}',
+                      file=sys.stderr)
+
     if log_root_dir is not None:
         # per-solve telemetry (the reference redirects each Ray worker's
         # stdout to log/<img>/genN/<cidx>.txt, objects.py:220-233; the
         # batched path writes one summary per compute_objects call)
-        import os
         from ._aux import mkdir
         mkdir(log_root_dir)
         with open(os.path.join(log_root_dir, 'solves.txt'), 'a') as fout:

@@ -88,10 +88,13 @@ def _gaussian_filter_multi(x, sigmas, truncate):
 
 def gaussian_filter_multi(img, sigmas, truncate=4.0):
     """Filters one image at several sigmas in a single device dispatch
-    (one upload of ``img``, one fetch of all results)."""
+    (one upload of ``img``, one fetch of all results). Duplicate sigmas are
+    computed and transferred once."""
     img = jnp.asarray(img)
     if img.dtype not in (jnp.float32, jnp.float64, jnp.bfloat16):
         img = img.astype(jnp.float32)
-    outs = _gaussian_filter_multi(img, tuple(float(s) for s in sigmas),
-                                  float(truncate))
-    return jax.device_get(outs)
+    sigmas = tuple(float(s) for s in sigmas)
+    unique = tuple(sorted(set(sigmas)))
+    outs = jax.device_get(_gaussian_filter_multi(img, unique, float(truncate)))
+    by_sigma = dict(zip(unique, outs))
+    return tuple(by_sigma[s] for s in sigmas)

@@ -15,3 +15,4 @@ from .mesh import make_mesh, default_mesh  # noqa: F401
 from .newton import make_sharded_poly_solver, make_sharded_dsm_solver  # noqa: F401
 from .pipelined import process_images_pipelined  # noqa: F401
 from .mosaic import process_mosaic, rasterize_mosaic_labels  # noqa: F401
+from ..dsm.batching import set_pipeline_mesh, get_pipeline_mesh, device_scope  # noqa: F401

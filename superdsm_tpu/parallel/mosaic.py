@@ -42,10 +42,17 @@ def _tile_grid(shape, tile, halo):
             yield (np.s_[r0:r1, c0:c1], np.s_[pr0:pr1, pc0:pc1])
 
 
-def process_mosaic(pipeline, cfg, g_raw, tile=(1024, 1024), halo=160, out=None):
+def process_mosaic(pipeline, cfg, g_raw, tile=(1024, 1024), halo=160, out=None,
+                   devices=None):
     """Segments a large mosaic tile by tile.
 
-    :param pipeline: A :class:`~superdsm_tpu.pipeline.Pipeline`.
+    With more than one device (``devices`` defaults to all local devices),
+    tiles are distributed over host threads, each pinning its solves to one
+    device via :class:`~superdsm_tpu.dsm.batching.device_scope` — independent
+    tiles run concurrently across chips.
+
+    :param pipeline: A :class:`~superdsm_tpu.pipeline.Pipeline`, or a factory
+        returning one (a factory gives each worker thread its own pipeline).
     :param cfg: Hyperparameters (applied per tile; set ``AF_scale`` to skip
         per-tile scale estimation and keep tiles consistent).
     :param g_raw: The mosaic image.
@@ -54,26 +61,52 @@ def process_mosaic(pipeline, cfg, g_raw, tile=(1024, 1024), halo=160, out=None):
     :return: ``(objects, tiles_processed)`` — :class:`MosaicObject` list in
         mosaic coordinates.
     """
+    import jax
     from ..automation import process_image
+    from ..dsm.batching import device_scope
 
     out = get_output(out)
     g_raw = np.asarray(g_raw)
-    objects = []
     tiles = list(_tile_grid(g_raw.shape, tile, halo))
-    for tile_idx, (core_sel, pad_sel) in enumerate(tiles):
-        out.intermediate(f'Mosaic tile {tile_idx + 1} / {len(tiles)}...')
+    if devices is None:
+        devices = jax.devices()
+    n_workers = max(1, min(len(devices), len(tiles)))
+    make_pipeline = pipeline if callable(pipeline) else (lambda: pipeline)
+
+    done = [0]
+
+    def run_tile(args):
+        worker_idx, tile_idx, core_sel, pad_sel = args
         tile_img = g_raw[pad_sel]
         tile_cfg = cfg.copy() if isinstance(cfg, Config) else Config(cfg)
-        data, _, _ = process_image(pipeline, tile_cfg, tile_img,
-                                   out=out.derive(muted=True))
+        with device_scope(devices[worker_idx % len(devices)]):
+            data, _, _ = process_image(make_pipeline(), tile_cfg, tile_img,
+                                       out=out.derive(muted=True))
         pad_off = np.array([pad_sel[0].start, pad_sel[1].start])
+        tile_objects = []
         for obj in data['postprocessed_objects']:
             center = pad_off + np.asarray(obj.fg_offset) + \
                 np.array(obj.fg_fragment.shape) / 2.0
             if (core_sel[0].start <= center[0] < core_sel[0].stop and
                     core_sel[1].start <= center[1] < core_sel[1].stop):
-                objects.append(MosaicObject(obj, pad_off))
-    out.write(f'Mosaic: {len(objects)} objects from {len(tiles)} tiles')
+                tile_objects.append(MosaicObject(obj, pad_off))
+        done[0] += 1
+        out.intermediate(f'Mosaic tiles: {done[0]} / {len(tiles)}...')
+        return tile_idx, tile_objects
+
+    jobs = [(i % n_workers, i, core, pad) for i, (core, pad) in enumerate(tiles)]
+    if n_workers == 1:
+        results = [run_tile(j) for j in jobs]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            results = list(pool.map(run_tile, jobs))
+
+    objects = []
+    for _, tile_objects in sorted(results, key=lambda r: r[0]):
+        objects.extend(tile_objects)
+    out.write(f'Mosaic: {len(objects)} objects from {len(tiles)} tiles '
+              f'({n_workers} workers)')
     return objects, len(tiles)
 
 

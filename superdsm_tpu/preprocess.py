@@ -11,14 +11,45 @@ Hyperparameters (namespace ``preprocess``): ``sigma1`` (default sqrt(2)),
 (default 3), ``lower_clip_mean`` (default False).
 """
 
+import functools
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .pipeline import Stage
-from .ops.gaussian import gaussian_filter
+from .ops.gaussian import _gaussian_filter_2d
 from .ops.edt import edt
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('sigma1', 'sigma2', 'lower_clip_mean'))
+def _preprocess_program(gq, gscale, blendq, offset_clip_abs, gmean,
+                        sigma1, sigma2, lower_clip_mean):
+    """The whole offset computation as ONE device program.
+
+    Through a remote-device tunnel every eager jnp op is a dispatch
+    (~25-30 ms) and host<->device bandwidth is scarce, so the image travels
+    up uint16-quantized, all three Gaussian filters + the blend run fused,
+    and the offsets come back int16-quantized (same format as the solver's
+    packed transfers; quantization error ~3e-5 of the range is far below the
+    imaging noise)."""
+    g = gq.astype(jnp.float32) * gscale
+    offset_original = _gaussian_filter_2d(g, (sigma2, sigma2), 4.0)
+    if blendq is None:
+        offset_combined = offset_original
+    else:
+        blend = blendq.astype(jnp.float32) * (1.0 / 65535.0)
+        offset_clipped = _gaussian_filter_2d(
+            jnp.clip(g, 0, offset_clip_abs), (sigma2, sigma2), 4.0)
+        offset_combined = (1 - blend) * offset_clipped + blend * offset_original
+    if lower_clip_mean:
+        offset_combined = jnp.maximum(offset_combined, gmean)
+    y = _gaussian_filter_2d(g, (sigma1, sigma1), 4.0) - offset_combined
+    yscale = jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
+    yq = jnp.round(y * (32767.0 / yscale)).astype(jnp.int16)
+    return yq, yscale
 
 
 class Preprocessing(Stage):
@@ -36,29 +67,31 @@ class Preprocessing(Stage):
         offset_clip = cfg.get('offset_clip', 3)
         lower_clip_mean = cfg.get('lower_clip_mean', False)
 
-        g = jnp.asarray(g_raw)
-        offset_original = gaussian_filter(g, sigma2)
+        # uint16 quantization of the (normalized, non-negative) intensities
+        gmax = float(g_raw.max())
+        gq_scale = np.float32((gmax if gmax > 0 else 1.0) / 65535.0)
+        gq = np.round(g_raw * (1.0 / gq_scale)).astype(np.uint16)
 
         if np.isinf(offset_clip):
-            offset_combined = offset_original
+            blendq = None
+            offset_clip_abs = np.float32(0)
         else:
             offset_clip_abs = offset_clip * float(g_raw.std())
-            offset_clipped = gaussian_filter(jnp.clip(g, 0, offset_clip_abs), sigma2)
             clip_area = (g_raw > offset_clip_abs)
             blend = edt(~clip_area)
             blend = np.clip(sigma2 - blend, 0, np.inf)
             bmax = blend.max()
             blend = (blend / (bmax if bmax > 0 else 1)) ** 2
-            blend = jnp.asarray(blend.astype(np.float32))
-            offset_combined = (1 - blend) * offset_clipped + blend * offset_original
+            blendq = np.round(blend * 65535.0).astype(np.uint16)
 
-        if lower_clip_mean:
-            offset_combined = jnp.maximum(offset_combined, float(g_raw.mean()))
-
-        y = gaussian_filter(g, sigma1) - offset_combined
+        yq, yscale = jax.device_get(_preprocess_program(
+            gq, gq_scale, blendq, np.float32(offset_clip_abs),
+            np.float32(g_raw.mean()), float(sigma1), float(sigma2),
+            bool(lower_clip_mean)))
+        y = yq.astype(np.float64) * (float(yscale) / 32767.0)
 
         return {
-            'y': np.asarray(y, np.float64),
+            'y': y,
         }
 
     def configure_ex(self, scale, radius, diameter):

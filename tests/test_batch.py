@@ -98,3 +98,86 @@ def test_status_report(tmp_path):
     report.update(FakeTask(), 0.5)
     content = (tmp_path / 'status').read_text()
     assert '-> /x/y (50%)' in content
+
+
+def test_export_cli_img_mode(tmp_path):
+    """Export CLI end-to-end in 'img' mode (no pipeline run): task-chain
+    loading, image-id filtering, output layout."""
+    import numpy as np
+    from superdsm_tpu.io import imsave, imread
+    from superdsm_tpu.export import run_cli
+
+    root = tmp_path / 'root'
+    (root / 'task').mkdir(parents=True)
+    data_dir = tmp_path / 'data'
+    data_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        imsave(str(data_dir / f'img-{i}.png'),
+               rng.rand(32, 32).astype(np.float32), normalize=True)
+    (root / 'task' / 'task.json').write_text(json.dumps({
+        'runnable': True,
+        'img_pathpattern': str(data_dir / 'img-%d.png'),
+        'file_ids': [0, 1],
+        'config': {'AF_scale': 8},
+    }))
+
+    outdir = tmp_path / 'exported'
+    run_cli([str(root), 'task', '--mode', 'img', '--imageid', '1',
+             '--outdir', str(outdir)])
+    files = sorted(p.name for p in outdir.iterdir())
+    assert files == ['1.png']
+    assert imread(str(outdir / '1.png')).shape == (32, 32)
+
+
+def test_histological_rgb_end_to_end(tmp_path):
+    """Histological (RGB, dark-nuclei-on-bright) images through the batch
+    path: RGB loading, gray inversion, segmentation
+    (/root/reference/superdsm/pipeline.py:176-195, batch.py:53-62)."""
+    import numpy as np
+    from superdsm_tpu.io import imsave, imread
+
+    H, W = 120, 120
+    rr, cc = np.indices((H, W))
+    density = sum(
+        np.exp(-(((rr - r0) ** 2 + (cc - c0) ** 2) / (2 * (rad * 0.7) ** 2)))
+        for r0, c0, rad in [(40, 40, 14), (88, 80, 13)])
+    rng = np.random.RandomState(0)
+    # bright pink background, nuclei absorb (dark violet) - H&E-like
+    rgb = np.zeros((H, W, 3), np.float32)
+    base = np.array([0.92, 0.80, 0.86], np.float32)
+    stain = np.array([0.35, 0.20, 0.45], np.float32)
+    for ch in range(3):
+        rgb[..., ch] = base[ch] - (base[ch] - stain[ch]) * np.clip(density, 0, 1)
+    rgb += rng.randn(H, W, 3).astype(np.float32) * 0.01
+    rgb = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+
+    root = tmp_path / 'root'
+    task_dir = root / 'histo'
+    task_dir.mkdir(parents=True)
+    img_dir = tmp_path / 'imgs'
+    img_dir.mkdir()
+    imsave(str(img_dir / 'img-0.png'), rgb)
+
+    (task_dir / 'task.json').write_text(json.dumps({
+        'runnable': True,
+        'img_pathpattern': str(img_dir / 'img-%d.png'),
+        'seg_pathpattern': 'seg/img-%d.png',
+        'file_ids': [0],
+        'config': {
+            'histological': True,
+            'AF_scale': 12,
+            'c2f-region-analysis': {'min_atom_radius': 6},
+            'global-energy-minimization': {'AF_beta': 0.5},
+        },
+    }))
+
+    run_cli([str(root), '--run', '--no-fork', '--force'])
+    seg = np.asarray(imread(str(task_dir / 'seg' / 'img-0.png'), as_gray=False))
+    assert seg.max() == 2  # both nuclei found
+    # centroids near the seeded nuclei
+    import scipy.ndimage as ndi
+    centers = sorted(ndi.center_of_mass(seg > 0, seg, [1, 2]))
+    expected = sorted([(40, 40), (88, 80)])
+    for (r, c), (er, ec) in zip(centers, expected):
+        assert abs(r - er) <= 5 and abs(c - ec) <= 5

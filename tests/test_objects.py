@@ -95,3 +95,30 @@ def test_cvxprog_api():
     fg = s > 0
     true = y > 0
     assert (fg & true).sum() / (fg | true).sum() > 0.9
+
+
+def test_debug_footprint_dump(tmp_path, monkeypatch):
+    """SDSM_DEBUG_FOOTPRINT dumps a per-object energy-trace record."""
+    import json
+    import numpy as np
+    from superdsm_tpu.image import Image
+    from superdsm_tpu.objects import Object, compute_objects
+
+    H, W = 32, 32
+    rr, cc = np.indices((H, W))
+    disk = ((rr - 16.0) ** 2 + (cc - 16.0) ** 2) <= 8.0 ** 2
+    y = Image(model=disk.astype(np.float32) - 0.5)
+    atoms = disk.astype(int)
+    obj = Object()
+    obj.footprint = frozenset([1])
+    monkeypatch.setenv('SDSM_DEBUG_FOOTPRINT', '1')
+    dsm_cfg = {'smooth_amount': 4, 'smooth_subsample': 6, 'alpha': 0.05,
+               'background_margin': 6, 'newton_maxiter': 8}
+    compute_objects([obj], y, atoms, dsm_cfg, log_root_dir=str(tmp_path))
+    record_path = tmp_path / 'debug_object_1.json'
+    assert record_path.exists()
+    record = json.loads(record_path.read_text())
+    assert record['footprint'] == [1]
+    assert len(record['energy_trace']) >= 2
+    energies = [t['energy'] for t in record['energy_trace']]
+    assert energies[-1] <= energies[0] + 1e-6  # monotone-ish trace

@@ -6,6 +6,8 @@ implementations and JAX autodiff, and the solver's segmentation behavior on
 synthetic shapes.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -251,3 +253,85 @@ def test_fallback_counts_in_compute_objects():
                'background_margin': 6}
     objects = compute_objects([obj], y, atoms, dsm_cfg)
     assert objects[0].is_optimal in (False, True)  # must not raise
+
+
+def test_oversized_region_solved_by_pixel_subsampling():
+    """A region beyond the largest pixel bucket (VERDICT item 7) must solve
+    via the uniform pixel subsample + full-resolution foreground evaluation
+    instead of raising."""
+    import superdsm_tpu.dsm.batching as B
+    H = W = 1620  # 1620^2 = 2,624,400 > 2,097,152 when fully masked
+    rr, cc = np.indices((H, W))
+    disk = ((rr - H / 2) ** 2 + (cc - W / 2) ** 2) <= (0.4 * H) ** 2
+    y = np.where(np.ones((H, W), bool), disk.astype(np.float32) - 0.5, 0.0)
+    region = Image(model=y)  # full-frame mask: all H*W pixels
+    prob = make_problem(region, smooth_amount=4, smooth_subsample=300)
+    assert prob.n_pixels > B.P_BUCKETS[-1]
+    assert 0 < prob.n_deform <= 122
+    res = solve_problems([prob], alpha=0.05, smooth_amount=4, maxiter=8)[0]
+    assert res.status in ('optimal', 'fallback')
+    assert res.fg is not None and res.fg.shape == (prob.n_pixels,)
+    fg = np.zeros((H, W), bool)
+    fg[prob.pts[:, 0], prob.pts[:, 1]] = res.fg
+    iou = (fg & disk).sum() / (fg | disk).sum()
+    assert iou > 0.8
+
+
+def test_adaptive_deformation_stride():
+    """make_problem must widen the subsample stride so K fits the buckets."""
+    H = W = 900
+    rr, cc = np.indices((H, W))
+    disk = ((rr - H / 2) ** 2 + (cc - W / 2) ** 2) <= (0.45 * H) ** 2
+    y = disk.astype(np.float32) - 0.5
+    region = Image(model=y)
+    # stride 8 on a ~572k-px disk would give ~8900 grid points
+    prob = make_problem(region, smooth_amount=4, smooth_subsample=8)
+    from superdsm_tpu.dsm.batching import _k_limit
+    assert 0 < prob.n_deform <= _k_limit(prob.n_pixels)
+
+
+@pytest.mark.skipif(os.environ.get('SDSM_SLOW_TESTS') != '1',
+                    reason='~5 min on CPU; set SDSM_SLOW_TESTS=1')
+def test_cg_direction_matches_cholesky():
+    """Quality gate (VERDICT item 8): at K > CHOLESKY_MAX_N the Newton
+    direction comes from residual-based PCG; the converged energy and the
+    foreground must match an exact-Cholesky solve to below the maxiter-sweep
+    noise floor.
+
+    Measured 2026-08-16 (CPU, K=441 bucket 506, P bucket 32768, maxiter 30):
+    |dE| / |E| = 1.1e-4, fg IoU = 1.0000 — far below the ~1% maxiter-sweep
+    noise floor documented in CLAUDE.md."""
+    import superdsm_tpu.dsm.solver as S
+
+    H, W = 200, 200
+    rr, cc = np.indices((H, W))
+    blob = (((rr - 100) / 1.15) ** 2 + ((cc - 100) * 1.15) ** 2) <= 70.0 ** 2 
+    blob |= ((rr - 60) ** 2 + (cc - 130) ** 2) <= 40.0 ** 2  # non-elliptical
+    y = blob.astype(np.float32) - 0.5
+    region = Image(model=y)
+    prob = make_problem(region, smooth_amount=6, smooth_subsample=8)
+    assert prob.n_deform > S.CHOLESKY_MAX_N  # lands in the CG regime
+
+    def run():
+        res = solve_problems([prob], alpha=0.05, smooth_amount=6, maxiter=30)[0]
+        fg = np.zeros((H, W), bool)
+        fg[prob.pts[:, 0], prob.pts[:, 1]] = res.fg
+        return res.energy, fg
+
+    e_cg, fg_cg = run()
+
+    old = S.CHOLESKY_MAX_N
+    S.CHOLESKY_MAX_N = 10 ** 9  # force exact Cholesky directions
+    S._solve_poly._clear_cache()
+    S._solve_dsm_packed._clear_cache()
+    try:
+        e_chol, fg_chol = run()
+    finally:
+        S.CHOLESKY_MAX_N = old
+        S._solve_poly._clear_cache()
+        S._solve_dsm_packed._clear_cache()
+
+    # energies agree to well below the maxiter-sweep noise floor (~1%)
+    assert abs(e_cg - e_chol) <= 2e-3 * max(1.0, abs(e_chol))
+    iou = (fg_cg & fg_chol).sum() / max(1, (fg_cg | fg_chol).sum())
+    assert iou > 0.995
