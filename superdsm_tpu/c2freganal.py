@@ -16,6 +16,7 @@ Outputs: ``y_mask``, ``atoms``, ``adjacencies``, ``seeds``, ``clusters``.
 
 import hashlib
 import math
+import os as _os
 import queue
 
 import numpy as np
@@ -85,7 +86,8 @@ def _hash_mask(mask):
     return hashlib.sha1(mask.astype(np.uint8)).digest()
 
 
-def _norm_energies(cache, masked_cluster, bg_edt, objs, atoms_map, background_margin):
+def _norm_energies(cache, masked_cluster, bg_edt, objs, atoms_map, background_margin,
+                   extra_masks=()):
     """Sub-generator computing normalized energies r(ω) for several objects.
 
     Yields at most ONE solve request (``('solve', [cp_mask, ...])``) covering
@@ -94,6 +96,11 @@ def _norm_energies(cache, masked_cluster, bg_edt, objs, atoms_map, background_ma
     value per object: ψ / #ω, or ``None`` for degenerate regions whose
     offset intensities are single-signed
     (cf. ``/root/reference/superdsm/c2freganal.py:58-79``).
+
+    ``extra_masks`` are speculative region masks (see ``_speculate_children``)
+    whose energies ride the same device round and enter only the cache. They
+    are requested only when the round happens anyway (a real cache miss
+    exists) — speculation never creates a round of its own.
     """
     keys, masks, pending = [], [], []
     for obj in objs:
@@ -110,10 +117,65 @@ def _norm_energies(cache, masked_cluster, bg_edt, objs, atoms_map, background_ma
         else:
             pending.append((key, cp_mask))
     if pending:
+        for m in extra_masks:
+            cp_mask = m & masked_cluster.mask & (bg_edt <= background_margin)
+            key = _hash_mask(cp_mask)
+            if key in cache or any(k == key for k, _ in pending):
+                continue
+            vals = masked_cluster.model[cp_mask]
+            if vals.size == 0 or (vals > 0).all() or (vals < 0).all():
+                cache[key] = None
+            else:
+                pending.append((key, cp_mask))
         energies = yield ('solve', [mask for _, mask in pending])
         for (key, cp_mask), energy in zip(pending, energies):
             cache[key] = None if energy is None else energy / cp_mask.sum()
     return [cache[key] for key in keys]
+
+
+#: Speculative pre-solving of the next split level (kill switch for A/B runs).
+_SPECULATE = _os.environ.get('SDSM_C2F_SPECULATE', '1') == '1'
+
+
+def _speculate_children(cluster, masked_cluster, children, seed_distances,
+                        min_atom_size, seed_connectivity, budget=12):
+    """Simulates the remaining split recursion under the all-accept
+    assumption and returns every predicted sub-region mask (BFS order).
+
+    The split-queue loop is FIFO; assuming each attempted split is accepted
+    and every child stays above the energy threshold, the future seed
+    choices, watershed splits, and hence normalized-energy masks are fully
+    determined by the state at this yield point. Solving the predicted tree
+    in the SAME device round turns the following rounds into cache hits, so
+    a cluster's whole split chain costs one or two device rounds instead of
+    one per split. The simulation diverges where the assumption fails (a
+    child turns out to be a leaf, or a split is rejected by the
+    min-improvement rule); from there predictions are wasted padded batch
+    rows — correctness is untouched because speculative energies enter only
+    the mask-keyed cache, and a miss simply solves in a later round.
+    ``budget`` caps the number of speculative masks per yield.
+    """
+    import collections
+    masks = []
+    sd = seed_distances
+    q = collections.deque(children)
+    while q and len(masks) < budget:
+        mask, seed = q.popleft()
+        if seed is None or mask.sum() < 2 * min_atom_size:
+            continue
+        s2 = _get_next_seed(masked_cluster,
+                            np.all((cluster.model > 0, mask, sd >= 1), axis=0),
+                            lambda loc: sd[loc].max(), seed_connectivity)
+        if s2 is None:
+            continue
+        sd = np.minimum(sd, ndi.distance_transform_edt(~s2))
+        m1, m2 = _watershed_split(cluster.get_region(mask), seed, s2)
+        if m1.sum() < min_atom_size or m2.sum() < min_atom_size:
+            continue  # the real loop would retry with another seed; one shot only
+        masks += [m1, m2]
+        q.append((m1, seed))
+        q.append((m2, s2))
+    return masks
 
 
 def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radius,
@@ -137,9 +199,21 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
 
     leaf_candidates = []
     split_queue = queue.Queue()
+    if root_candidate.seed is not None:
+        seed_distances = ndi.distance_transform_edt(~root_candidate.seed)
+        try:
+            root_spec = _speculate_children(
+                cluster, masked_cluster,
+                [(root_candidate.get_mask(atoms_map), root_candidate.seed)],
+                seed_distances, min_atom_size, seed_connectivity) \
+                if _SPECULATE else ()
+        except Exception:
+            root_spec = ()
+    else:
+        root_spec = ()
     root_candidate.normalized_energy = (yield from _norm_energies(
         cache, masked_cluster, bg_edt, [root_candidate], atoms_map,
-        background_margin))[0]
+        background_margin, extra_masks=root_spec))[0]
     if root_candidate.normalized_energy is None:
         root_candidate.normalized_energy = 0.0
     if root_candidate.seed is None:
@@ -149,9 +223,6 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
         split_queue.put(root_candidate)
     else:
         leaf_candidates.append(root_candidate)
-
-    if root_candidate.seed is not None:
-        seed_distances = ndi.distance_transform_edt(~root_candidate.seed)
     while not split_queue.empty():
         c0 = split_queue.get()
         c0_mask = c0.get_mask(atoms_map)
@@ -191,8 +262,17 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
         c2.footprint = frozenset([new_atom_label])
 
         try:
+            spec = _speculate_children(
+                cluster, masked_cluster,
+                [(c1_mask, c1.seed), (c2_mask, c2.seed)],
+                seed_distances, min_atom_size, seed_connectivity) \
+                if _SPECULATE else ()
+        except Exception:
+            spec = ()
+        try:
             child_energies = yield from _norm_energies(
-                cache, masked_cluster, bg_edt, [c1, c2], atoms_map, background_margin)
+                cache, masked_cluster, bg_edt, [c1, c2], atoms_map,
+                background_margin, extra_masks=spec)
         except Exception:
             child_energies = [None, None]
         c1.normalized_energy, c2.normalized_energy = child_energies
@@ -254,7 +334,7 @@ def _drive_cluster_workers(workers, clusters_by_label, img_shape, out,
         out.intermediate(f'{status_line}... round {round_no}: '
                          f'{len(problems)} solves, {len(results)} / '
                          f'{len(results) + len(waiting)} clusters done')
-        solved = solve_problems(problems, out=None)
+        solved = solve_problems(problems, out=None, fetch='energy')
         energies_by_label = {}
         for res in solved:
             label, idx = res.tag

@@ -381,7 +381,7 @@ def make_problem(region, img_shape=None, smooth_amount=np.inf,
 def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                    gaussian_shape_multiplier=2, init='elliptical',
                    maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, out=None,
-                   progress_line='Computing objects'):
+                   progress_line='Computing objects', fetch='full'):
     """Solves a list of :class:`Problem` in padded, bucketed batches.
 
     Problems without deformation dimensions run the packed 6-parameter
@@ -392,6 +392,10 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
     ``/root/reference/superdsm/objects.py:361-412`` — the reference solves
     the two phases as separate cvxopt programs per object).
 
+    :param fetch: ``'full'`` fetches parameters and foreground masks;
+        ``'energy'`` fetches only energies and fallback flags (the c2f
+        normalized-energy rounds need nothing else, and the per-pixel
+        foreground masks dominate the host<->device transfer volume).
     :return: list of :class:`ProblemResult`, aligned with ``problems``.
     """
     from .solver import pack_and_solve_poly, _solve_dsm_packed
@@ -539,18 +543,44 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
     _record_shapes(dispatched_shapes)
     import jax
     _t_fetch = _time.time()
-    fetched = jax.device_get([outs for _, _, outs in pending])
+    # fetch only the leaves the caller consumes — through a remote-device
+    # tunnel every transferred byte (and every leaf round trip) is latency.
+    # outs layouts: poly (params, f, conv, bad, fg, it);
+    #               dsm (params, f, f_ell, conv, bad, fg, it).
+    # ``conv``/``f_ell``/``it`` are device-side intermediates, fetched only
+    # for telemetry.
+    _idx = {'poly': dict(f=1, bad=3, fg=4, it=5),
+            'dsm': dict(f=1, bad=4, fg=5, it=6)}
+    if fetch == 'energy':
+        sel = [(outs[ix['f']], outs[ix['bad']])
+               for kind, _, outs in pending
+               for ix in (_idx[kind],)]
+    else:
+        sel = [(outs[0], outs[ix['f']], outs[ix['bad']], outs[ix['fg']])
+               for kind, _, outs in pending
+               for ix in (_idx[kind],)]
+    fetched = jax.device_get(sel)
     if _TELEMETRY:
-        shapes = [(kind, len(chunk)) for kind, chunk, _ in pending]
+        its = jax.device_get([outs[_idx[kind]['it']]
+                              for kind, _, outs in pending])
+        shapes = [(kind, len(chunk), int(it))
+                  for (kind, chunk, _), it in zip(pending, its)]
         print(f'[solve_problems] n={len(problems)} calls={len(pending)} '
               f'dispatch={_t_fetch - _t_start:.3f}s fetch={_time.time() - _t_fetch:.3f}s '
-              f'groups={shapes} '
+              f'groups(kind,n,iters)={shapes} '
               f'poly={sorted((pb, len(v)) for pb, v in poly_groups.items())} '
               f'dsm={sorted((k, len(v)) for k, v in dsm_groups.items())}',
               file=_sys.stderr, flush=True)
     for (kind, chunk, _), outs in zip(pending, fetched):
-        if kind == 'poly':
-            params, f, conv, bad, fg = outs
+        if fetch == 'energy':
+            f, bad = outs
+            for j, i in enumerate(chunk):
+                results[i] = ProblemResult(
+                    params=None, energy=float(f[j]),
+                    status='fallback' if bad[j] else 'optimal',
+                    surface=None, fg=None, tag=problems[i].tag)
+        elif kind == 'poly':
+            params, f, bad, fg = outs
             for j, i in enumerate(chunk):
                 p = problems[i]
                 results[i] = ProblemResult(
@@ -558,7 +588,7 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                     status='fallback' if bad[j] else 'optimal',
                     surface=None, fg=fg[j, :p.n_pixels].astype(bool), tag=p.tag)
         else:
-            params, f, f_ell, conv, bad, fg = outs
+            params, f, bad, fg = outs
             for j, i in enumerate(chunk):
                 p = problems[i]
                 npix, k = p.n_pixels, p.n_deform
@@ -573,7 +603,8 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
         for i, (factor, orig) in oversized.items():
             res = results[i]
             res.energy = float(res.energy) * factor
-            res.fg = evaluate_foreground(orig, res.params,
-                                         float(smooth_amount), int(cutoff))
+            if fetch != 'energy':
+                res.fg = evaluate_foreground(orig, res.params,
+                                             float(smooth_amount), int(cutoff))
 
     return results

@@ -17,12 +17,49 @@ bucket construction (``dsm.batching.K_BUCKETS``).
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+#: MXU passes of the Gauss-Newton gram Bf^T diag(kappa) Bf — the dominant
+#: FLOPs of a Newton iteration (P x n x n vs P x n for everything else).
+#: MEASURED (round 2): reduced precision here is a false economy. 3 passes
+#: (manual bf16 hi/lo operand split = ``Precision.HIGH`` semantics, ~1e-6
+#: relative error — Mosaic does not lower HIGH directly, hence the manual
+#: split) halves the MXU work per iteration, but the Gauss-Newton Hessian is
+#: near-singular along well-classified directions and the LM damping floor
+#: (1e-6 relative) is comparable to the 3-pass error: steps stop descending,
+#: convergence stalls within the iteration budget, energies end higher, and
+#: set-cover acceptance flips — bench images lost 2-5 of 28 objects
+#: (fg IoU 0.82-0.93 vs 6-pass) and ran ~2x SLOWER end-to-end from the extra
+#: stalled iterations. Plain 1-pass bf16 was already rejected in round 1.
+#: Keep 6 (full f32); override with SDSM_GRAM_PASSES={1,3,6} for experiments.
+GRAM_PASSES = int(os.environ.get('SDSM_GRAM_PASSES', '6'))
+assert GRAM_PASSES in (1, 3, 6), GRAM_PASSES
+
+#: The matching XLA precision for the non-Pallas (vmap) solver path.
+GRAM_PRECISION = {1: jax.lax.Precision.DEFAULT,
+                  3: jax.lax.Precision.HIGH,
+                  6: jax.lax.Precision.HIGHEST}[GRAM_PASSES]
+
+
+def _dot_rows_3pass(a, b):
+    """``a^T b`` over the row (pixel) axis in 3 one-pass bf16 dots with f32
+    accumulation: operands split as x = hi + lo (hi = bf16(x), lo =
+    bf16(x - hi)), dropping only the lo*lo term (~2^-18 relative)."""
+    dn = (((0,), (0,)), ((), ()))
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    f32 = jnp.float32
+    return (jax.lax.dot_general(a_hi, b_hi, dn, preferred_element_type=f32)
+            + jax.lax.dot_general(a_hi, b_lo, dn, preferred_element_type=f32)
+            + jax.lax.dot_general(a_lo, b_hi, dn, preferred_element_type=f32))
 
 
 def _grad_hess_kernel(aux_ref, bf_ref, g_ref, h_ref):
@@ -37,11 +74,16 @@ def _grad_hess_kernel(aux_ref, bf_ref, g_ref, h_ref):
     bf = bf_ref[0]                                   # (TP, n)
     gpart = jnp.dot(term1[None, :], bf, precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)       # (1, n)
-    hpart = jax.lax.dot_general(
-        bf * kappa[:, None], bf,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)                   # (n, n)
+    bfk = bf * kappa[:, None]
+    if GRAM_PASSES == 3:
+        hpart = _dot_rows_3pass(bfk, bf)                      # (n, n)
+    else:
+        hpart = jax.lax.dot_general(
+            bfk, bf,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=(jax.lax.Precision.HIGHEST if GRAM_PASSES == 6
+                       else jax.lax.Precision.DEFAULT),
+            preferred_element_type=jnp.float32)               # (n, n)
 
     @pl.when(pl.program_id(1) == 0)
     def _():

@@ -157,13 +157,18 @@ def _pcg_solve(H, b, iters=CG_MAX_ITERS, rtol=CG_RTOL):
 
 
 def _data_grad_hess(Bf, s, yv, w):
-    """Data-term gradient and Gauss-Newton Hessian (one problem, XLA path)."""
+    """Data-term gradient and Gauss-Newton Hessian (one problem, XLA path).
+
+    The gram uses the same reduced-pass MXU precision as the fused Pallas
+    kernel (see ``pallas_kernels.GRAM_PRECISION``); on CPU the precision
+    hint is a no-op (always f32)."""
+    from .pallas_kernels import GRAM_PRECISION
     t = yv * s
     sig = jax.nn.sigmoid(-t)
     term1 = -yv * sig * w
     kappa = w * yv * yv * sig * (1.0 - sig)
     g = jnp.dot(Bf.T, term1, precision=HIGHEST)
-    H = jnp.einsum('pi,p,pj->ij', Bf, kappa, Bf, precision=HIGHEST)
+    H = jnp.einsum('pi,p,pj->ij', Bf, kappa, Bf, precision=GRAM_PRECISION)
     return g, H
 
 
@@ -432,7 +437,8 @@ def _unpack_inputs(pix, off, cnt, yq, yscale, denom):
 
 @functools.partial(jax.jit, static_argnames=('tol',))
 def _solve_poly_packed(pix, off, cnt, yq, yscale, denom, params0, maxiter, tol):
-    """Packed 6-parameter solve; returns (params, energy, conv, bad, fg uint8).
+    """Packed 6-parameter solve; returns (params, energy, conv, bad, fg uint8,
+    iterations).
 
     ``bad`` mirrors the reference's fallback rule
     (``/root/reference/superdsm/objects.py:394-411``): a solve that ends
@@ -455,7 +461,7 @@ def _solve_poly_packed(pix, off, cnt, yq, yscale, denom, params0, maxiter, tol):
     f = jnp.where(bad, f_init, f)
     s = jnp.where(bad[:, None], s_init, s)
     fg = ((s > 0) & (w > 0)).astype(jnp.uint8)
-    return params, f, conv, bad, fg
+    return params, f, conv, bad, fg, it
 
 
 @functools.partial(jax.jit, static_argnames=('tol', 'sigma', 'cutoff'))
@@ -465,7 +471,8 @@ def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_wa
 
     The full solve starts from the better of the elliptical solution and the
     optional warm start (parent solution from the generation loop).
-    Returns (params, energy, energy_elliptical, conv, bad, fg uint8), where
+    Returns (params, energy, energy_elliptical, conv, bad, fg uint8,
+    iterations), where
     ``bad`` marks problems whose solve ended non-finite or worse than the
     initialization — those rows are restored to the initialization on device,
     mirroring the reference's fallback semantics
@@ -524,7 +531,7 @@ def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_wa
     f = jnp.where(bad, f_init, f)
     s = jnp.where(bad[:, None], s_init, s)
     fg = ((s > 0) & (w > 0)).astype(jnp.uint8)
-    return params, f, f_ell, conv, bad, fg
+    return params, f, f_ell, conv, bad, fg, it
 
 
 def _pack_poly_group(problems, img_shape, params0=None,
@@ -563,7 +570,7 @@ def pack_and_solve_poly(problems, img_shape, params0=None,
     """
     out = _pack_poly_group(problems, img_shape, params0=params0,
                            maxiter=maxiter, tol=tol, pb=pb, Bp=Bp)
-    params, f, conv, bad, fg = jax.device_get(out)  # one host round trip
+    params, f, conv, bad, fg, _it = jax.device_get(out)  # one host round trip
     return [(params[j], float(f[j]), bool(conv[j]) and not bool(bad[j]),
              fg[j, :problems[j].n_pixels].astype(bool)) for j in range(len(problems))]
 

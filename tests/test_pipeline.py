@@ -228,3 +228,33 @@ def test_accuracy_vs_reference_goldens():
     matched, spurious, missing = match_rows(rows, expected,
                                             center_tol=3.0, size_tol=0.1)
     assert not spurious and not missing, (spurious, missing)
+
+
+def test_c2f_speculation_identical(monkeypatch):
+    """Speculative pre-solving of the next split level must not change the
+    c2f outputs — speculation only seeds the energy cache with masks the
+    split loop would solve anyway (one device round earlier)."""
+    import superdsm_tpu.c2freganal as c2f
+
+    def run():
+        pipeline = create_default_pipeline()
+        cfg = Config()
+        cfg['c2f-region-analysis/min_atom_radius'] = 6
+        cfg['global-energy-minimization/beta'] = 0.5
+        data, _, _ = pipeline.process_image(synthetic_blobs(), cfg)
+        return data
+
+    monkeypatch.setattr(c2f, '_SPECULATE', False)
+    data_off = run()
+    monkeypatch.setattr(c2f, '_SPECULATE', True)
+    data_on = run()
+
+    assert np.array_equal(data_on['atoms'], data_off['atoms'])
+    assert np.array_equal(data_on['clusters'], data_off['clusters'])
+    assert len(data_on['postprocessed_objects']) == \
+        len(data_off['postprocessed_objects'])
+    fp_on = sorted(tuple(sorted(o.original.footprint))
+                   for o in data_on['postprocessed_objects'])
+    fp_off = sorted(tuple(sorted(o.original.footprint))
+                    for o in data_off['postprocessed_objects'])
+    assert fp_on == fp_off
