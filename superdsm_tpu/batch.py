@@ -201,6 +201,18 @@ def _write_env_report(env_path):
 DATA_DILL_GZ_FILENAME = 'data.dill.gz'
 
 
+def _shard_tag(index, count):
+    return f'shard-{index}-of-{count}'
+
+
+def parse_shard(spec):
+    """Parses ``"I/N"`` into ``(index, count)`` (0-based index)."""
+    index, count = (int(x) for x in str(spec).split('/'))
+    if not (count >= 1 and 0 <= index < count):
+        raise ValueError(f'invalid shard spec: {spec}')
+    return index, count
+
+
 class Task:
     """A batch processing task (a directory with a ``task.json`` spec).
 
@@ -321,18 +333,90 @@ class Task:
         return self.runnable and not (self.digest_path.exists()
                                       and self.digest_path.read_text() == self.config_digest)
 
+    # ------------------------------------------------------------------
+    # Multi-host dispatch (host-level data parallelism over images).
+    #
+    # The reference distributes work within one host via Ray's shared-nothing
+    # task model (``/root/reference/superdsm/batch.py:258-263``); across
+    # hosts, the TPU-native equivalent is file striping over a shared
+    # filesystem: host i of n runs ``--shard i/n`` (processing
+    # ``file_ids[i::n]`` and writing per-shard result/digest sidecars), and
+    # any host afterwards runs ``--merge-shards n`` to combine them into the
+    # standard task artifacts. No network transport is needed — images are
+    # independent, exactly like the reference's Ray tasks.
+    # ------------------------------------------------------------------
+
+    def shard_result_path(self, index, count):
+        return self.path / f'data.{_shard_tag(index, count)}.dill.gz'
+
+    def shard_digest_path(self, index, count):
+        return self.path / f'.digest.{_shard_tag(index, count)}'
+
+    def shard_timings_path(self, index, count):
+        return self.path / f'.timings.{_shard_tag(index, count)}.json'
+
+    def is_pending_shard(self, index, count):
+        p = self.shard_digest_path(index, count)
+        return self.runnable and not (p.exists()
+                                      and p.read_text() == self.config_digest)
+
+    def merge_shards(self, count, out=None):
+        """Combines the ``count`` per-shard results into the standard task
+        artifacts (``data.dill.gz``, timings, performance, digest)."""
+        out = get_output(out)
+        missing = [i for i in range(count)
+                   if not self.shard_result_path(i, count).exists()
+                   or self.is_pending_shard(i, count)]
+        if missing:
+            raise RuntimeError(f'{self._fmt_path(self.path)}: shards not ready '
+                               f'(missing or stale: {missing} of {count})')
+        data, timings = {}, {}
+        for i in range(count):
+            with gzip.open(self.shard_result_path(i, count), 'rb') as fin:
+                data.update(dill.load(fin))
+            p = self.shard_timings_path(i, count)
+            if p.exists():
+                with p.open('r') as fin:
+                    shard_timings = json.load(fin)
+                timings.update({_resolve_timings_key(k, self.file_ids): v
+                                for k, v in shard_timings.items()})
+        data = {fid: data.get(fid) for fid in self.file_ids}
+        performance = PerformanceReport()
+        for fid in self.file_ids:
+            if data[fid] is not None and 'performance' in data[fid]:
+                performance += data[fid]['performance']
+        if timings:
+            self.write_timings(timings)
+        with gzip.open(self.result_path, 'wb') as fout:
+            dill.dump(data, fout, byref=True)
+        with self.digest_cfg_path.open('w') as fout:
+            self.config.dump_json(fout)
+        _write_performance_report(self.path, self.performance_path, data, performance)
+        _write_env_report(self.env_path)
+        self.digest_path.write_text(self.config_digest)
+        for i in range(count):
+            self.shard_result_path(i, count).unlink()
+            self.shard_digest_path(i, count).unlink()
+            self.shard_timings_path(i, count).unlink(missing_ok=True)
+        out.write(f'Merged {count} shard(s): {self._fmt_path(self.result_path)}')
+        return data
+
     def run(self, task_info=None, dry=False, verbosity=0, force=False, one_shot=False,
-            debug=False, report=None, pickup=True, out=None):
+            debug=False, report=None, pickup=True, out=None, shard=None):
         out = get_output(out)
         if not self.runnable:
             return
-        if not force and not self.is_pending:
+        pending = self.is_pending if shard is None else self.is_pending_shard(*shard)
+        if not force and not pending:
             out.write(f'\nSkipping task: {self._fmt_path(self.path)} '
                       f'{"" if task_info is None else f"({task_info})"}')
             return
         if self.last_stage is not None:
             task_info = (f'{task_info}, ' if task_info is not None else '') + \
                 f'last stage: {self.last_stage}'
+        if shard is not None:
+            task_info = (f'{task_info}, ' if task_info is not None else '') + \
+                f'shard {shard[0] + 1}/{shard[1]}'
         out.write(Text.style(f'\nEntering task: {self._fmt_path(self.path)} '
                              f'{"" if task_info is None else f"({task_info})"}', Text.BLUE))
         out2 = out.derive(margin=2)
@@ -344,6 +428,8 @@ class Task:
             out3 = out2.derive(margin=2, muted=(verbosity <= -int(not dry)))
             timings = self._load_timings()
             performance = PerformanceReport()
+            file_ids = (self.file_ids if shard is None
+                        else self.file_ids[shard[0]::shard[1]])
 
             def _file_kwargs(file_id):
                 kwargs = dict(img_filepath=str(self.img_pathpattern) % file_id,
@@ -371,12 +457,12 @@ class Task:
                     nonlocal_performance[0] += result['performance']
 
             nonlocal_performance = [performance]
-            for file_id in self.file_ids:
+            for file_id in file_ids:
                 if file_id not in data:
                     data[file_id] = None
 
             n_threads = int(os.environ.get('SUPERDSM_TPU_TASK_THREADS', '3'))
-            if not dry and n_threads > 1 and len(self.file_ids) > 1:
+            if not dry and n_threads > 1 and len(file_ids) > 1:
                 # host/device-overlapped file stream (superdsm_tpu.parallel.
                 # pipelined rationale): image i's host phases (watershed,
                 # combinatorics, rendering) run while image j's batched
@@ -397,18 +483,18 @@ class Task:
 
                 done = 0
                 with ThreadPoolExecutor(max_workers=n_threads) as pool:
-                    for file_id, result, _timings in pool.map(_worker, self.file_ids):
+                    for file_id, result, _timings in pool.map(_worker, file_ids):
                         _finish_file(file_id, result, _timings)
                         done += 1
                         if report is not None:
-                            report.update(self, done / len(self.file_ids))
+                            report.update(self, done / len(file_ids))
                         out3.write(Text.style(f'[{self._fmt_path(self.path)}] ',
                                               Text.BLUE + Text.BOLD)
                                    + f'Processed file: {str(self.img_pathpattern) % file_id}'
-                                   f' ({done} / {len(self.file_ids)})')
+                                   f' ({done} / {len(file_ids)})')
             else:
-                for file_idx, file_id in enumerate(self.file_ids):
-                    progress = file_idx / len(self.file_ids)
+                for file_idx, file_id in enumerate(file_ids):
+                    progress = file_idx / len(file_ids)
                     if report is not None:
                         report.update(self, progress)
                     out3.write(Text.style(f'\n[{self._fmt_path(self.path)}] ',
@@ -443,6 +529,20 @@ class Task:
             ]
             if any(skip_writing_results_conditions):
                 out2.write('Skipping writing results')
+            elif shard is not None:
+                # shard sidecars only; the standard task artifacts are
+                # produced by merge_shards once every shard has finished
+                if not dry:
+                    result_path = self.shard_result_path(*shard)
+                    out2.intermediate(f'Writing results... {self._fmt_path(result_path)}')
+                    with gzip.open(result_path, 'wb') as fout:
+                        dill.dump({fid: data.get(fid) for fid in file_ids},
+                                  fout, byref=True)
+                    with self.shard_timings_path(*shard).open('w') as fout:
+                        json.dump({str(k): timings[k] for k in file_ids
+                                   if k in timings}, fout)
+                    out2.write(Text.style('Results written to: ', Text.BOLD)
+                               + self._fmt_path(result_path))
             else:
                 if not dry:
                     self.write_timings(timings)
@@ -456,7 +556,10 @@ class Task:
                 out2.write(Text.style('Results written to: ', Text.BOLD)
                            + self._fmt_path(self.result_path))
             if not dry and not one_shot:
-                self.digest_path.write_text(self.config_digest)
+                if shard is not None:
+                    self.shard_digest_path(*shard).write_text(self.config_digest)
+                else:
+                    self.digest_path.write_text(self.config_digest)
             return data
         except Exception:
             out.write(Text.style(f'\nError while processing task: {self._fmt_path(self.path)}',
@@ -643,10 +746,18 @@ def run_cli(args=None):
                         action='store_true')
     parser.add_argument('--report', help='report current status to file', type=str,
                         default='/tmp/superdsm-status')
+    parser.add_argument('--shard', help='process only file stripe I/N of each task '
+                        '(host-level data parallelism over a shared filesystem; '
+                        'run --merge-shards N afterwards)', type=str, default=None)
+    parser.add_argument('--merge-shards', help='merge N per-shard results into the '
+                        'standard task artifacts', type=int, default=None)
     args = parser.parse_args(args)
 
     if args.last_stage is not None and not args.oneshot:
         parser.error('Using "--last-stage" only allowed if "--oneshot" is used')
+    if args.shard is not None and args.merge_shards is not None:
+        parser.error('"--shard" and "--merge-shards" are mutually exclusive')
+    shard = parse_shard(args.shard) if args.shard is not None else None
 
     override_cfg = dict()
     if args.last_stage is not None:
@@ -674,11 +785,17 @@ def run_cli(args=None):
                 all(not is_subpath(path, task.path) for path in args.task_dir):
             continue
         scheduled_tasks.append(task)
-        if task.is_pending or args.force:
+        if (task.is_pending if shard is None else task.is_pending_shard(*shard)) \
+                or args.force:
             pending_tasks_count += 1
             report.update(task, 'pending', save=False)
+    if args.merge_shards is not None:
+        for task in scheduled_tasks:
+            task.merge_shards(args.merge_shards, out=out)
+        return
     for task in scheduled_tasks:
-        if task.is_pending or args.force:
+        if (task.is_pending if shard is None else task.is_pending_shard(*shard)) \
+                or args.force:
             run_task_count += 1
             task_info = f'{run_task_count} of {pending_tasks_count}'
         else:
@@ -687,7 +804,7 @@ def run_cli(args=None):
         if args.no_fork:
             try:
                 task.run(task_info, dry, args.verbosity, args.force, args.oneshot,
-                         args.debug, report, not args.fresh, out)
+                         args.debug, report, not args.fresh, out, shard=shard)
                 report.update(task, 'done')
             except Exception:
                 report.update(task, 'error')
@@ -697,7 +814,7 @@ def run_cli(args=None):
             if newpid == 0:
                 try:
                     task.run(task_info, dry, args.verbosity, args.force, args.oneshot,
-                             args.debug, report, not args.fresh, out)
+                             args.debug, report, not args.fresh, out, shard=shard)
                 except Exception:
                     report.update(task, 'error')
                     import traceback

@@ -181,3 +181,68 @@ def test_histological_rgb_end_to_end(tmp_path):
     expected = sorted([(40, 40), (88, 80)])
     for (r, c), (er, ec) in zip(centers, expected):
         assert abs(r - er) <= 5 and abs(c - ec) <= 5
+
+
+@pytest.fixture(scope='module')
+def shard_root(tmp_path_factory):
+    """A runnable task with 3 single-blob images (for shard striping)."""
+    root = tmp_path_factory.mktemp('shardroot')
+    rng = np.random.RandomState(0)
+    rr, cc = np.indices((80, 80))
+    for i in range(3):
+        r0, c0 = 30 + 5 * i, 40
+        g = np.exp(-(((rr - r0) ** 2 + (cc - c0) ** 2) / (2 * (12 * 0.6) ** 2)))
+        g += rng.randn(80, 80).astype(np.float32) * 0.01
+        imsave(str(root / f'img{i}.png'), g.astype(np.float32), normalize=True)
+    json.dump({
+        'runnable': True,
+        'img_pathpattern': '{ROOTDIR}/img%d.png',
+        'file_ids': [0, 1, 2],
+        'seg_pathpattern': 'seg/%d.png',
+        'config': {'AF_scale': 8,
+                   'global-energy-minimization': {'beta': 0.5}},
+    }, (root / 'task.json').open('w'))
+    return root
+
+
+def test_shard_run_and_merge(shard_root, capsys):
+    """Host-level data parallelism: two shards process disjoint file stripes,
+    the merge produces the standard task artifacts, and every image is
+    segmented exactly once."""
+    run_cli([str(shard_root), '--run', '--no-fork', '--shard', '0/2'])
+    assert (shard_root / 'data.shard-0-of-2.dill.gz').exists()
+    assert (shard_root / '.digest.shard-0-of-2').exists()
+    assert not (shard_root / 'data.dill.gz').exists()
+    # shard 0 strides file_ids [0, 2]; shard 1 handles [1]
+    assert (shard_root / 'seg' / '0.png').exists()
+    assert (shard_root / 'seg' / '2.png').exists()
+    assert not (shard_root / 'seg' / '1.png').exists()
+
+    # a re-run of the same shard must skip via the shard digest
+    run_cli([str(shard_root), '--run', '--no-fork', '--shard', '0/2'])
+    assert 'Skipping task' in capsys.readouterr().out
+
+    # merging before all shards are done must fail
+    with pytest.raises(RuntimeError):
+        run_cli([str(shard_root), '--run', '--no-fork', '--merge-shards', '2'])
+
+    run_cli([str(shard_root), '--run', '--no-fork', '--shard', '1/2'])
+    assert (shard_root / 'seg' / '1.png').exists()
+
+    run_cli([str(shard_root), '--run', '--no-fork', '--merge-shards', '2'])
+    assert (shard_root / 'data.dill.gz').exists()
+    assert (shard_root / '.digest').exists()
+    assert (shard_root / 'performance.csv').exists()
+    assert (shard_root / 'timings.csv').exists()
+    assert not (shard_root / 'data.shard-0-of-2.dill.gz').exists()
+    with gzip.open(shard_root / 'data.dill.gz', 'rb') as fin:
+        data = dill.load(fin)
+    assert sorted(data.keys()) == [0, 1, 2]
+    for i in range(3):
+        assert len(data[i]['postprocessed_objects']) == 1
+        seg = imread(str(shard_root / 'seg' / f'{i}.png'))
+        assert len(np.unique(seg)) == 2  # bg + 1 object
+
+    # after the merge the task counts as done: an unsharded run skips it
+    run_cli([str(shard_root), '--run', '--no-fork'])
+    assert 'Skipping task' in capsys.readouterr().out
