@@ -475,9 +475,14 @@ class Task:
                 def _worker(file_id):
                     if not hasattr(local, 'pipeline'):
                         local.pipeline = self._initialize()
+                    kwargs = _file_kwargs(file_id)
+                    # overlapped file processing saturates the device — skip
+                    # the latency-oriented c2f split-tree speculation (see
+                    # superdsm_tpu.parallel.pipelined)
+                    kwargs['cfg'].set_default('c2f-region-analysis/speculate', False)
                     result, _timings = _process_file(
                         dry, local.pipeline, data[file_id], first_stage=first_stage,
-                        out=out3.derive(muted=True), **_file_kwargs(file_id))
+                        out=out3.derive(muted=True), **kwargs)
                     _compress_logs(_resolve_pathpattern(self.log_pathpattern, file_id))
                     return file_id, result, _timings
 

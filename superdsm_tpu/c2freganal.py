@@ -179,7 +179,8 @@ def _speculate_children(cluster, masked_cluster, children, seed_distances,
 
 
 def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radius,
-                    min_norm_energy_improvement, background_margin, seed_connectivity):
+                    min_norm_energy_improvement, background_margin, seed_connectivity,
+                    speculate=None):
     """Generator running the split-queue loop of one cluster
     (semantics of ``/root/reference/superdsm/c2freganal.py:193-287``).
 
@@ -187,6 +188,8 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
     ``(root_candidate, leaf_candidates, atoms_map, max_normalized_energy)``.
     """
     min_atom_size = math.pi * (min_atom_radius ** 2)
+    if speculate is None:
+        speculate = _SPECULATE
     cache = {}
     bg_edt = ndi.distance_transform_edt(masked_cluster.model <= 0)
 
@@ -206,7 +209,7 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
                 cluster, masked_cluster,
                 [(root_candidate.get_mask(atoms_map), root_candidate.seed)],
                 seed_distances, min_atom_size, seed_connectivity) \
-                if _SPECULATE else ()
+                if speculate else ()
         except Exception:
             root_spec = ()
     else:
@@ -266,7 +269,7 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
                 cluster, masked_cluster,
                 [(c1_mask, c1.seed), (c2_mask, c2.seed)],
                 seed_distances, min_atom_size, seed_connectivity) \
-                if _SPECULATE else ()
+                if speculate else ()
         except Exception:
             spec = ()
         try:
@@ -374,6 +377,10 @@ class C2F_RegionAnalysis(Stage):
         max_atom_norm_energy = cfg.get('max_atom_norm_energy', 0.05)
         min_norm_energy_improvement = cfg.get('min_norm_energy_improvement', 0.1)
         max_cluster_marker_irregularity = cfg.get('max_cluster_marker_irregularity', 0.2)
+        # split-tree speculation trades a few % extra device compute for a
+        # ~halved sequential round count: on for latency-bound single-image
+        # runs, off in the device-saturated pipelined throughput path
+        speculate = bool(cfg.get('speculate', _SPECULATE))
 
         dsm_cfg = copy_dict(input_data['dsm_cfg'])
         background_margin = dsm_cfg.get('background_margin', 20)
@@ -414,7 +421,8 @@ class C2F_RegionAnalysis(Stage):
             clusters_by_label[cluster_label] = cluster
             workers[cluster_label] = _cluster_worker(
                 cluster, masked_cluster, max_atom_norm_energy, min_atom_radius,
-                min_norm_energy_improvement, background_margin, seed_connectivity)
+                min_norm_energy_improvement, background_margin, seed_connectivity,
+                speculate=speculate)
 
         results = _drive_cluster_workers(workers, clusters_by_label, y.model.shape, out)
 

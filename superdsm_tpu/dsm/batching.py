@@ -53,8 +53,9 @@ def _k_limit(n_pixels):
 B_CAP_TPU = {2048: 64, 8192: 64, 32768: 16, 131072: 8, 524288: 2, 2097152: 1}
 B_CAP_CPU = {2048: 8, 8192: 8, 32768: 4, 131072: 2, 524288: 1, 2097152: 1}
 #: 6-parameter (deformation-free) programs are dispatch-bound, not
-#: compute-bound: their caps are larger so a c2f round fits in one call.
-B_CAP_POLY_TPU = {2048: 64, 8192: 64, 32768: 32, 131072: 8, 524288: 2,
+#: compute-bound: their caps are larger so a c2f round (including the
+#: speculative split-tree solves) fits in one call.
+B_CAP_POLY_TPU = {2048: 64, 8192: 64, 32768: 64, 131072: 8, 524288: 2,
                   2097152: 1}
 
 

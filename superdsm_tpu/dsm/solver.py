@@ -260,10 +260,16 @@ def _newton_step(params, mu, s, f0, g, H, Bf, yv, w, alpha, epsilon, kmask, tol)
                        jnp.where(improved, mu, jnp.minimum(mu * 8.0, MU_MAX)))
     # the Newton decrement only estimates the optimality gap when the system
     # is essentially undamped; under heavy damping delta (and hence the
-    # decrement) shrinks regardless of the distance to the optimum
+    # decrement) shrinks regardless of the distance to the optimum.
+    # A firing scale boost used to veto convergence outright, but on
+    # near-separable data the boost keeps firing with geometrically decaying
+    # gains (the creep's asymptote) and every solve ran to maxiter; instead,
+    # an iteration only blocks convergence if it actually gained more than
+    # the tolerance (step + boost combined).
+    tiny_gain = (f0 - new_f) <= tol * (1.0 + jnp.abs(f0))
     converged = ((0.5 * decrement <= tol * (1.0 + jnp.abs(f0))) & (mu <= 1e-4)
-                 & (~boost)) | \
-                ((~improved) & (mu >= MU_MAX) & (~boost))
+                 & tiny_gain) | \
+                ((~improved) & (mu >= MU_MAX) & tiny_gain)
     return new_params, new_s, new_f, converged, new_mu
 
 

@@ -43,6 +43,11 @@ def process_images_pipelined(pipeline_factory, base_cfg, images, threads=2,
         if not hasattr(local, 'pipeline'):
             local.pipeline = pipeline_factory()
         cfg = base_cfg.copy()
+        # split-tree speculation wins latency by spending extra device
+        # compute; with several images overlapping the device is already
+        # saturated, so the extra compute only costs throughput (~4%
+        # measured) — turn it off unless the caller pinned it
+        cfg.set_default('c2f-region-analysis/speculate', False)
         data, _, _ = run_one(local.pipeline, cfg, img, out=out.derive(muted=True))
         return idx, data
 
