@@ -527,6 +527,11 @@ def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_wa
     # elliptical-phase energy
     f_init = jnp.where(take_warm, f_warm, f_ell)
 
+    # NOTE (measured, round 2): a two-phase variant that warm-started cold
+    # solves from a 4x-pixel-subsampled solve (alpha scaled by 1/4) did NOT
+    # reduce full-resolution iterations — the iteration count is dominated
+    # by the logistic creep, which resumes at full resolution no matter how
+    # good the start is — and the extra phase cost a net ~10%. Reverted.
     params, f, conv, it, s = _solve_batch_impl(params0, Q, G, yv, w, alpha,
                                                epsilon, kmask, maxiter, tol)
     # fallback only for non-converged-and-worse or non-finite solves,
