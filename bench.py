@@ -54,7 +54,7 @@ def main():
     base_cfg = Config({'AF_scale': 12})
     out = get_output(None).derive(muted=True)
 
-    n_images = int(os.environ.get('SDSM_BENCH_IMAGES', 3))
+    n_images = int(os.environ.get('SDSM_BENCH_IMAGES', 5))
     # pre-compile the solver shape buckets (threaded), then run one warmup
     # image to cover the remaining programs (preprocessing, renders)
     from superdsm_tpu.dsm.batching import warmup
@@ -81,7 +81,7 @@ def main():
     n_throughput = max(n_images, 6)
     images = [make_image(seed)[0] for seed in range(n_throughput)]
     reps = []
-    for _ in range(3):  # median over repetitions: tunnel load varies run-to-run
+    for _ in range(5):  # median over repetitions: tunnel load varies run-to-run
         t0 = time.time()
         process_images_pipelined(create_default_pipeline, base_cfg, images,
                                  threads=3, out=out)
