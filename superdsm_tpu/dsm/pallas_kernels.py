@@ -118,11 +118,53 @@ def _batch_chunk(n):
     return bc
 
 
-def _fused_grad_hess_call(Bf, aux):
+#: Early-iteration hybrid: run the first N Newton iterations with a 1-pass
+#: bf16 gram (6x fewer MXU passes), then switch to the full-precision gram.
+#: MEASURED (round 2): REJECTED as a default — fg IoU dropped to 0.971-0.988
+#: (24/28 objects matched) at N=16 with no net speed win. Near-separable
+#: solves truncate on the logistic creep rather than converging, so the
+#: final energies/boundaries are a *trajectory snapshot*: any change to the
+#: step sequence (gram precision, warm starts, iteration schedules) shifts
+#: the snapshot materially even when each step still descends. Only
+#: trajectory-preserving optimizations (transfer trimming, batching,
+#: speculation) or conservative stopping-rule changes hold quality. Kept as
+#: an env knob for experiments; 0 disables (default).
+HYBRID_ITERS = int(os.environ.get('SDSM_GRAM_HYBRID_ITERS', '0'))
+
+
+def _grad_hess_kernel_1pass(aux_ref, bf_ref, g_ref, h_ref):
+    s = aux_ref[0, 0, :]
+    yv = aux_ref[0, 1, :]
+    w = aux_ref[0, 2, :]
+    t = yv * s
+    sig = jax.nn.sigmoid(-t)
+    term1 = -yv * sig * w
+    kappa = w * yv * yv * sig * (1.0 - sig)
+
+    bf = bf_ref[0]                                   # (TP, n)
+    gpart = jnp.dot(term1[None, :], bf, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)       # (1, n)
+    hpart = jax.lax.dot_general(
+        (bf * kappa[:, None]).astype(jnp.bfloat16), bf.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # (n, n)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        g_ref[0] = gpart
+        h_ref[0] = hpart
+
+    @pl.when(pl.program_id(1) > 0)
+    def _():
+        g_ref[0] = g_ref[0] + gpart
+        h_ref[0] = h_ref[0] + hpart
+
+
+def _fused_grad_hess_call(Bf, aux, kernel=None):
     B, P, n = Bf.shape
     tp = _tile_rows(P, n)
     return pl.pallas_call(
-        _grad_hess_kernel,
+        kernel or _grad_hess_kernel,
         grid=(B, P // tp),
         in_specs=[
             pl.BlockSpec((1, 3, tp), lambda b, i: (b, 0, i),
@@ -143,8 +185,8 @@ def _fused_grad_hess_call(Bf, aux):
     )(aux, Bf)
 
 
-@jax.jit
-def fused_grad_hess_batched(Bf, s, yv, w):
+@functools.partial(jax.jit, static_argnames=('cheap',))
+def fused_grad_hess_batched(Bf, s, yv, w, cheap=False):
     """Fused logistic gradient and Gauss-Newton Hessian, batched.
 
     The batch is a grid dimension (NOT vmap: a vmapped pallas_call allocates
@@ -152,19 +194,21 @@ def fused_grad_hess_batched(Bf, s, yv, w):
     each call's output buffers fit comfortably in VMEM.
 
     :param Bf: (B, P, n) feature matrices, n a multiple of 128.
+    :param cheap: use the 1-pass bf16 gram (early hybrid iterations).
     :return: ``(g (B, n), H (B, n, n))`` float32.
     """
     B, P, n = Bf.shape
+    kernel = _grad_hess_kernel_1pass if cheap else None
     aux = jnp.stack([s, yv, w], axis=1).astype(jnp.float32)  # (B, 3, P)
     Bf = Bf.astype(jnp.float32)
     bc = _batch_chunk(n)
     if bc >= B:
-        g, H = _fused_grad_hess_call(Bf, aux)
+        g, H = _fused_grad_hess_call(Bf, aux, kernel)
         return g[:, 0, :], H
     gs, Hs = [], []
     for start in range(0, B, bc):
         end = min(start + bc, B)
-        g, H = _fused_grad_hess_call(Bf[start:end], aux[start:end])
+        g, H = _fused_grad_hess_call(Bf[start:end], aux[start:end], kernel)
         gs.append(g[:, 0, :])
         Hs.append(H)
     return jnp.concatenate(gs, axis=0), jnp.concatenate(Hs, axis=0)

@@ -302,14 +302,15 @@ def _solve_batch_impl(params0, Q, G, yv, w, alpha, epsilon, kmask, maxiter, tol)
     step = jax.vmap(_newton_step,
                     in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, 0, None))
 
-    from .pallas_kernels import fused_grad_hess_batched, pallas_available
+    from .pallas_kernels import (fused_grad_hess_batched, pallas_available,
+                                 HYBRID_ITERS)
     n_total = params0.shape[1]
     use_pallas = (pallas_available() and n_total % 128 == 0
                   and Bf.shape[1] % 256 == 0)
 
-    def grad_hess_b(s):
+    def grad_hess_b(s, cheap=False):
         if use_pallas:
-            return fused_grad_hess_batched(Bf, s, yv, w)
+            return fused_grad_hess_batched(Bf, s, yv, w, cheap=cheap)
         return jax.vmap(_data_grad_hess)(Bf, s, yv, w)
 
     def cond(state):
@@ -318,7 +319,13 @@ def _solve_batch_impl(params0, Q, G, yv, w, alpha, epsilon, kmask, maxiter, tol)
 
     def body(state):
         it, params, conv, fval, mu, s = state
-        g_b, H_b = grad_hess_b(s)
+        if use_pallas and HYBRID_ITERS > 0:
+            g_b, H_b = jax.lax.cond(it < HYBRID_ITERS,
+                                    lambda s_: grad_hess_b(s_, cheap=True),
+                                    lambda s_: grad_hess_b(s_),
+                                    s)
+        else:
+            g_b, H_b = grad_hess_b(s)
         new_params, new_s, new_f, new_conv, new_mu = step(
             params, mu, s, fval, g_b, H_b, Bf, yv, w, alpha, epsilon, kmask, tol)
         params = jnp.where(conv[:, None], params, new_params)
