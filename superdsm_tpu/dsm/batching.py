@@ -320,10 +320,18 @@ class Problem:
 
     @property
     def yq(self):
-        """int16-quantized intensities (yv ~ yq * yscale / 32767; cached)."""
+        """int16-quantized intensities (yv ~ yq * yscale / 32767; cached).
+
+        Non-finite intensities (numerically failed inputs, exercised by the
+        fallback tests) quantize to 0 instead of tripping an invalid-cast
+        warning; the solve of such a problem still ends in the device-side
+        fallback path via its non-finite energy."""
         q = getattr(self, '_yq', None)
         if q is None:
-            q = np.round(self.yv * (32767.0 / self.yscale)).astype(np.int16)
+            with np.errstate(invalid='ignore'):
+                scaled = np.nan_to_num(self.yv * (32767.0 / self.yscale),
+                                       nan=0.0, posinf=32767.0, neginf=-32767.0)
+            q = np.round(scaled).astype(np.int16)
             self._yq = q
         return q
 
