@@ -59,3 +59,14 @@ def test_create_config_entry_clamps():
     cfg2 = Config()
     _create_config_entry(cfg2, 'ns/key', 10, 2.0, type=int, max=12)
     assert cfg2['ns/key'] == 12
+
+
+def test_estimate_scale_fails_on_blob_free_image():
+    """A blob-free image must raise the reference's 'scale estimation
+    failed' error (``/root/reference/superdsm/automation.py:41-68``) —
+    the batch CLI then surfaces the task failure via fork isolation."""
+    import pytest
+    from superdsm_tpu.automation import _estimate_scale
+    flat = np.full((256, 256), 0.5, np.float32)
+    with pytest.raises(ValueError, match='scale estimation failed'):
+        _estimate_scale(flat)
