@@ -246,3 +246,40 @@ def test_shard_run_and_merge(shard_root, capsys):
     # after the merge the task counts as done: an unsharded run skips it
     run_cli([str(shard_root), '--run', '--no-fork'])
     assert 'Skipping task' in capsys.readouterr().out
+
+
+def test_export_cli_pipeline_modes(tmp_path):
+    """Export CLI end-to-end in every pipeline-rendering mode: 'seg' (result
+    contours over the image), 'fgc' (foreground clusters), 'adj' (adjacency
+    graph over the y-map), 'atm' (atoms) — the tolerance-based counterpart of
+    the reference's golden render test
+    (/root/reference/tests/test_render.py:13-66)."""
+    import numpy as np
+    from superdsm_tpu.io import imsave, imread
+    from superdsm_tpu.export import run_cli as export_cli
+
+    root = tmp_path / 'root'
+    task = root / 'task'
+    task.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    rr, cc = np.indices((96, 96))
+    g = np.exp(-(((rr - 36.0) ** 2 + (cc - 36.0) ** 2) / (2 * 9.0 ** 2)))
+    g += np.exp(-(((rr - 62.0) ** 2 + (cc - 62.0) ** 2) / (2 * 9.0 ** 2)))
+    g += rng.randn(96, 96).astype(np.float32) * 0.01
+    imsave(str(task / 'img0.png'), g.astype(np.float32), normalize=True)
+    (task / 'task.json').write_text(json.dumps({
+        'runnable': True,
+        'img_pathpattern': '{ROOTDIR}/img%d.png',
+        'file_ids': [0],
+        'config': {'AF_scale': 9,
+                   'global-energy-minimization': {'beta': 0.5}},
+    }))
+
+    for mode in ('seg', 'fgc', 'adj', 'atm'):
+        outdir = tmp_path / f'out_{mode}'
+        export_cli([str(root), 'task', '--mode', mode,
+                    '--outdir', str(outdir)])
+        img = np.asarray(imread(str(outdir / '0.png'), as_gray=False))
+        assert img.shape[:2] == (96, 96), (mode, img.shape)
+        assert img.ndim == 3 and img.shape[2] in (3, 4), (mode, img.shape)
+        assert img.std() > 0, mode  # actually rendered something
