@@ -362,8 +362,17 @@ class Task:
 
     def merge_shards(self, count, out=None):
         """Combines the ``count`` per-shard results into the standard task
-        artifacts (``data.dill.gz``, timings, performance, digest)."""
+        artifacts (``data.dill.gz``, timings, performance, digest).
+
+        Idempotent: a task whose digest is already current and whose shard
+        sidecars are gone (a previous merge consumed them) is skipped, so a
+        re-run after a partial multi-task merge picks up where it left off."""
         out = get_output(out)
+        sidecars = [i for i in range(count)
+                    if self.shard_result_path(i, count).exists()]
+        if not sidecars and not self.is_pending:
+            out.write(f'Skipping merge (already merged): {self._fmt_path(self.path)}')
+            return None
         missing = [i for i in range(count)
                    if not self.shard_result_path(i, count).exists()
                    or self.is_pending_shard(i, count)]
@@ -532,6 +541,7 @@ class Task:
                 first_stage is not None
                 and pipeline.find(first_stage) >= pipeline.find('postprocess'),
             ]
+            wrote_shard_result = False
             if any(skip_writing_results_conditions):
                 out2.write('Skipping writing results')
             elif shard is not None:
@@ -548,6 +558,7 @@ class Task:
                                    if k in timings}, fout)
                     out2.write(Text.style('Results written to: ', Text.BOLD)
                                + self._fmt_path(result_path))
+                    wrote_shard_result = True
             else:
                 if not dry:
                     self.write_timings(timings)
@@ -562,7 +573,11 @@ class Task:
                            + self._fmt_path(self.result_path))
             if not dry and not one_shot:
                 if shard is not None:
-                    self.shard_digest_path(*shard).write_text(self.config_digest)
+                    # a shard digest without its result sidecar would wedge
+                    # merge_shards (fresh digest + missing file): only mark
+                    # the shard done when its sidecar was actually written
+                    if wrote_shard_result:
+                        self.shard_digest_path(*shard).write_text(self.config_digest)
                 else:
                     self.digest_path.write_text(self.config_digest)
             return data
@@ -796,7 +811,18 @@ def run_cli(args=None):
             report.update(task, 'pending', save=False)
     if args.merge_shards is not None:
         for task in scheduled_tasks:
-            task.merge_shards(args.merge_shards, out=out)
+            if dry:
+                # dry-run contract: report readiness, touch nothing
+                n = args.merge_shards
+                ready = [i for i in range(n)
+                         if task.shard_result_path(i, n).exists()
+                         and not task.is_pending_shard(i, n)]
+                merged = len(ready) == 0 and not task.is_pending
+                out.write(f'{task._fmt_path(task.path)}: '
+                          + ('already merged' if merged
+                             else f'{len(ready)} / {n} shard(s) ready to merge'))
+            else:
+                task.merge_shards(args.merge_shards, out=out)
         return
     for task in scheduled_tasks:
         if (task.is_pending if shard is None else task.is_pending_shard(*shard)) \

@@ -87,7 +87,7 @@ def _hash_mask(mask):
 
 
 def _norm_energies(cache, masked_cluster, bg_edt, objs, atoms_map, background_margin,
-                   extra_masks=()):
+                   extra_masks=None):
     """Sub-generator computing normalized energies r(ω) for several objects.
 
     Yields at most ONE solve request (``('solve', [cp_mask, ...])``) covering
@@ -97,36 +97,33 @@ def _norm_energies(cache, masked_cluster, bg_edt, objs, atoms_map, background_ma
     offset intensities are single-signed
     (cf. ``/root/reference/superdsm/c2freganal.py:58-79``).
 
-    ``extra_masks`` are speculative region masks (see ``_speculate_children``)
-    whose energies ride the same device round and enter only the cache. They
-    are requested only when the round happens anyway (a real cache miss
-    exists) — speculation never creates a round of its own.
+    ``extra_masks`` is a zero-arg callable producing speculative region masks
+    (see ``_speculate_children``) whose energies ride the same device round
+    and enter only the cache. It is invoked only when the round happens
+    anyway (a real cache miss exists) — speculation never creates a round of
+    its own, and a fully-cached call pays no simulation cost.
     """
-    keys, masks, pending = [], [], []
-    for obj in objs:
-        cp_mask = obj.get_mask(atoms_map) & masked_cluster.mask & \
-            (bg_edt <= background_margin)
+    pending = []
+
+    def classify(raw_mask):
+        # ONE derivation + degeneracy rule for real and speculative masks —
+        # the energy cache is keyed by the cp-mask hash, so any divergence
+        # here would silently turn speculation into dead compute
+        cp_mask = raw_mask & masked_cluster.mask & (bg_edt <= background_margin)
         key = _hash_mask(cp_mask)
-        keys.append(key)
-        masks.append(cp_mask)
-        if key in cache:
-            continue
-        vals = masked_cluster.model[cp_mask]
-        if vals.size == 0 or (vals > 0).all() or (vals < 0).all():
-            cache[key] = None
-        else:
-            pending.append((key, cp_mask))
-    if pending:
-        for m in extra_masks:
-            cp_mask = m & masked_cluster.mask & (bg_edt <= background_margin)
-            key = _hash_mask(cp_mask)
-            if key in cache or any(k == key for k, _ in pending):
-                continue
+        if key not in cache and all(k != key for k, _ in pending):
             vals = masked_cluster.model[cp_mask]
             if vals.size == 0 or (vals > 0).all() or (vals < 0).all():
                 cache[key] = None
             else:
                 pending.append((key, cp_mask))
+        return key
+
+    keys = [classify(obj.get_mask(atoms_map)) for obj in objs]
+    if pending:
+        if extra_masks is not None:
+            for m in extra_masks():
+                classify(m)
         energies = yield ('solve', [mask for _, mask in pending])
         for (key, cp_mask), energy in zip(pending, energies):
             cache[key] = None if energy is None else energy / cp_mask.sum()
@@ -202,18 +199,27 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
 
     leaf_candidates = []
     split_queue = queue.Queue()
+
+    def _spec_thunk(children, sd):
+        """Lazy speculation: the (EDT + watershed) simulation only runs when
+        the driver round happens anyway; a failure never breaks the loop."""
+        def run():
+            if not speculate:
+                return ()
+            try:
+                return _speculate_children(cluster, masked_cluster, children,
+                                           sd, min_atom_size, seed_connectivity)
+            except Exception:
+                return ()
+        return run
+
     if root_candidate.seed is not None:
         seed_distances = ndi.distance_transform_edt(~root_candidate.seed)
-        try:
-            root_spec = _speculate_children(
-                cluster, masked_cluster,
-                [(root_candidate.get_mask(atoms_map), root_candidate.seed)],
-                seed_distances, min_atom_size, seed_connectivity) \
-                if speculate else ()
-        except Exception:
-            root_spec = ()
+        root_spec = _spec_thunk(
+            [(root_candidate.get_mask(atoms_map), root_candidate.seed)],
+            seed_distances)
     else:
-        root_spec = ()
+        root_spec = None
     root_candidate.normalized_energy = (yield from _norm_energies(
         cache, masked_cluster, bg_edt, [root_candidate], atoms_map,
         background_margin, extra_masks=root_spec))[0]
@@ -264,14 +270,8 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
         c1.footprint = frozenset(c0.footprint)
         c2.footprint = frozenset([new_atom_label])
 
-        try:
-            spec = _speculate_children(
-                cluster, masked_cluster,
-                [(c1_mask, c1.seed), (c2_mask, c2.seed)],
-                seed_distances, min_atom_size, seed_connectivity) \
-                if speculate else ()
-        except Exception:
-            spec = ()
+        spec = _spec_thunk([(c1_mask, c1.seed), (c2_mask, c2.seed)],
+                           seed_distances)
         try:
             child_energies = yield from _norm_energies(
                 cache, masked_cluster, bg_edt, [c1, c2], atoms_map,

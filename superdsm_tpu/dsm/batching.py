@@ -568,12 +568,16 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
         sel = [(outs[0], outs[ix['f']], outs[ix['bad']], outs[ix['fg']])
                for kind, _, outs in pending
                for ix in (_idx[kind],)]
+    if _TELEMETRY:
+        # iteration counters ride the same fetch (a second device_get would
+        # cost another tunnel round trip and distort the timing it reports)
+        sel = (sel, [outs[_idx[kind]['it']] for kind, _, outs in pending])
     fetched = jax.device_get(sel)
     if _TELEMETRY:
-        its = jax.device_get([outs[_idx[kind]['it']]
-                              for kind, _, outs in pending])
+        fetched, _its = fetched
+    if _TELEMETRY:
         shapes = [(kind, len(chunk), int(it))
-                  for (kind, chunk, _), it in zip(pending, its)]
+                  for (kind, chunk, _), it in zip(pending, _its)]
         print(f'[solve_problems] n={len(problems)} calls={len(pending)} '
               f'dispatch={_t_fetch - _t_start:.3f}s fetch={_time.time() - _t_fetch:.3f}s '
               f'groups(kind,n,iters)={shapes} '

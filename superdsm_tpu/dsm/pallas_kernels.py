@@ -62,38 +62,57 @@ def _dot_rows_3pass(a, b):
             + jax.lax.dot_general(a_lo, b_hi, dn, preferred_element_type=f32))
 
 
-def _grad_hess_kernel(aux_ref, bf_ref, g_ref, h_ref):
-    s = aux_ref[0, 0, :]
-    yv = aux_ref[0, 1, :]
-    w = aux_ref[0, 2, :]
-    t = yv * s
-    sig = jax.nn.sigmoid(-t)
-    term1 = -yv * sig * w
-    kappa = w * yv * yv * sig * (1.0 - sig)
-
-    bf = bf_ref[0]                                   # (TP, n)
-    gpart = jnp.dot(term1[None, :], bf, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)       # (1, n)
-    bfk = bf * kappa[:, None]
+def _gram_dot_full(a, b):
+    """The gram dot at the configured precision (GRAM_PASSES)."""
     if GRAM_PASSES == 3:
-        hpart = _dot_rows_3pass(bfk, bf)                      # (n, n)
-    else:
-        hpart = jax.lax.dot_general(
-            bfk, bf,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=(jax.lax.Precision.HIGHEST if GRAM_PASSES == 6
-                       else jax.lax.Precision.DEFAULT),
-            preferred_element_type=jnp.float32)               # (n, n)
+        return _dot_rows_3pass(a, b)
+    return jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=(jax.lax.Precision.HIGHEST if GRAM_PASSES == 6
+                   else jax.lax.Precision.DEFAULT),
+        preferred_element_type=jnp.float32)
 
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        g_ref[0] = gpart
-        h_ref[0] = hpart
 
-    @pl.when(pl.program_id(1) > 0)
-    def _():
-        g_ref[0] = g_ref[0] + gpart
-        h_ref[0] = h_ref[0] + hpart
+def _gram_dot_1pass(a, b):
+    """Single-pass bf16 gram dot (the hybrid-early-iterations experiment)."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _make_grad_hess_kernel(gram_dot):
+    """Kernel body shared by every gram precision — only the H dot differs."""
+    def kernel(aux_ref, bf_ref, g_ref, h_ref):
+        s = aux_ref[0, 0, :]
+        yv = aux_ref[0, 1, :]
+        w = aux_ref[0, 2, :]
+        t = yv * s
+        sig = jax.nn.sigmoid(-t)
+        term1 = -yv * sig * w
+        kappa = w * yv * yv * sig * (1.0 - sig)
+
+        bf = bf_ref[0]                                   # (TP, n)
+        gpart = jnp.dot(term1[None, :], bf, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)   # (1, n)
+        hpart = gram_dot(bf * kappa[:, None], bf)             # (n, n)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            g_ref[0] = gpart
+            h_ref[0] = hpart
+
+        @pl.when(pl.program_id(1) > 0)
+        def _():
+            g_ref[0] = g_ref[0] + gpart
+            h_ref[0] = h_ref[0] + hpart
+
+    return kernel
+
+
+_grad_hess_kernel = _make_grad_hess_kernel(_gram_dot_full)
+_grad_hess_kernel_1pass = _make_grad_hess_kernel(_gram_dot_1pass)
 
 
 def _tile_rows(P, n):
@@ -130,34 +149,6 @@ def _batch_chunk(n):
 #: speculation) or conservative stopping-rule changes hold quality. Kept as
 #: an env knob for experiments; 0 disables (default).
 HYBRID_ITERS = int(os.environ.get('SDSM_GRAM_HYBRID_ITERS', '0'))
-
-
-def _grad_hess_kernel_1pass(aux_ref, bf_ref, g_ref, h_ref):
-    s = aux_ref[0, 0, :]
-    yv = aux_ref[0, 1, :]
-    w = aux_ref[0, 2, :]
-    t = yv * s
-    sig = jax.nn.sigmoid(-t)
-    term1 = -yv * sig * w
-    kappa = w * yv * yv * sig * (1.0 - sig)
-
-    bf = bf_ref[0]                                   # (TP, n)
-    gpart = jnp.dot(term1[None, :], bf, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)       # (1, n)
-    hpart = jax.lax.dot_general(
-        (bf * kappa[:, None]).astype(jnp.bfloat16), bf.astype(jnp.bfloat16),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                   # (n, n)
-
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        g_ref[0] = gpart
-        h_ref[0] = hpart
-
-    @pl.when(pl.program_id(1) > 0)
-    def _():
-        g_ref[0] = g_ref[0] + gpart
-        h_ref[0] = h_ref[0] + hpart
 
 
 def _fused_grad_hess_call(Bf, aux, kernel=None):

@@ -247,6 +247,20 @@ def test_shard_run_and_merge(shard_root, capsys):
     run_cli([str(shard_root), '--run', '--no-fork'])
     assert 'Skipping task' in capsys.readouterr().out
 
+    # re-merging is idempotent (a multi-task merge re-run after a partial
+    # failure must skip tasks whose sidecars were already consumed)
+    run_cli([str(shard_root), '--run', '--no-fork', '--merge-shards', '2'])
+    assert 'already merged' in capsys.readouterr().out
+    assert (shard_root / 'data.dill.gz').exists()
+
+    # dry-run (no --run) must only report readiness, never merge or delete
+    (shard_root / 'data.shard-0-of-2.dill.gz').write_bytes(b'sentinel')
+    run_cli([str(shard_root), '--merge-shards', '2'])
+    out = capsys.readouterr().out
+    assert 'DRY RUN' in out
+    assert (shard_root / 'data.shard-0-of-2.dill.gz').read_bytes() == b'sentinel'
+    (shard_root / 'data.shard-0-of-2.dill.gz').unlink()
+
 
 def test_export_cli_pipeline_modes(tmp_path):
     """Export CLI end-to-end in every pipeline-rendering mode: 'seg' (result
