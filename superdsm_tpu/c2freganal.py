@@ -313,9 +313,13 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
 
 
 def _drive_cluster_workers(workers, clusters_by_label, img_shape, out,
-                           status_line='Analyzing clusters'):
+                           status_line='Analyzing clusters',
+                           newton_maxiter=None):
     """Advances all cluster workers in lockstep, batch-solving the pending
     normalized-energy requests of every active cluster each round."""
+    from .dsm.solver import DEFAULT_MAXITER
+    if newton_maxiter is None:
+        newton_maxiter = DEFAULT_MAXITER
     results = {}
     waiting = {}
     for label, gen in workers.items():
@@ -337,7 +341,8 @@ def _drive_cluster_workers(workers, clusters_by_label, img_shape, out,
         out.intermediate(f'{status_line}... round {round_no}: '
                          f'{len(problems)} solves, {len(results)} / '
                          f'{len(results) + len(waiting)} clusters done')
-        solved = solve_problems(problems, out=None, fetch='energy')
+        solved = solve_problems(problems, out=None, fetch='energy',
+                                maxiter=newton_maxiter)
         energies_by_label = {}
         for res in solved:
             label, idx = res.tag
@@ -381,6 +386,11 @@ class C2F_RegionAnalysis(Stage):
         # ~halved sequential round count: on for latency-bound single-image
         # runs, off in the device-saturated pipelined throughput path
         speculate = bool(cfg.get('speculate', _SPECULATE))
+        # the normalized energies only feed threshold comparisons
+        # (max_atom_norm_energy, min_norm_energy_improvement), so the split
+        # loop can run a lower Newton iteration cap than the gem-stage solves
+        # whose energies enter the set cover; default keeps the global cap
+        newton_maxiter = cfg.get('newton_maxiter', None)
 
         dsm_cfg = copy_dict(input_data['dsm_cfg'])
         background_margin = dsm_cfg.get('background_margin', 20)
@@ -424,7 +434,8 @@ class C2F_RegionAnalysis(Stage):
                 min_norm_energy_improvement, background_margin, seed_connectivity,
                 speculate=speculate)
 
-        results = _drive_cluster_workers(workers, clusters_by_label, y.model.shape, out)
+        results = _drive_cluster_workers(workers, clusters_by_label, y.model.shape, out,
+                                         newton_maxiter=newton_maxiter)
 
         max_normalized_energy = -np.inf
         for cluster_label in cluster_labels:
