@@ -400,7 +400,11 @@ class Task:
             dill.dump(data, fout, byref=True)
         with self.digest_cfg_path.open('w') as fout:
             self.config.dump_json(fout)
-        _write_performance_report(self.path, self.performance_path, data, performance)
+        _write_performance_report(
+            self.path, self.performance_path,
+            {fid: v for fid, v in data.items()
+             if v is not None and 'performance' in v},
+            performance)
         _write_env_report(self.env_path)
         self.digest_path.write_text(self.config_digest)
         for i in range(count):
@@ -544,6 +548,15 @@ class Task:
             wrote_shard_result = False
             if any(skip_writing_results_conditions):
                 out2.write('Skipping writing results')
+                # a shard must still complete (digest + sidecar) or it would
+                # re-run forever and merge_shards could never proceed; an
+                # empty sidecar contributes nothing to the merge — matching
+                # the unsharded path, which marks the digest without writing
+                # results
+                if shard is not None and not dry and not one_shot:
+                    with gzip.open(self.shard_result_path(*shard), 'wb') as fout:
+                        dill.dump({}, fout)
+                    wrote_shard_result = True
             elif shard is not None:
                 # shard sidecars only; the standard task artifacts are
                 # produced by merge_shards once every shard has finished

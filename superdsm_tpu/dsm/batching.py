@@ -415,6 +415,10 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
 
     _, cutoff = smooth_matrix_params(smooth_amount, gaussian_shape_multiplier)
     img_shape = problems[0].img_shape
+    # coordinates are normalized by ONE image shape per call — a silent
+    # mix of shapes would mis-scale every problem after the first
+    assert all(p.img_shape == img_shape for p in problems), \
+        'solve_problems requires a uniform img_shape per call'
     denom = np.maximum(np.asarray(img_shape, np.float32) - 1.0, 1.0)
 
     # Regions beyond the largest pixel bucket are solved on a uniform pixel

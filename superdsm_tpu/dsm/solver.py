@@ -644,8 +644,12 @@ def evaluate_foreground(problem, params, sigma, cutoff, chunk=524288):
         pending.append((start, n, _eval_fg_packed(
             PIX, off, np.int32(n), denom, SUB, KM, PAR,
             float(sigma) if np.isfinite(sigma) else 1.0, int(cutoff))))
-    for start, n, out in pending:
-        fg[start:start + n] = np.asarray(jax.device_get(out))[:n].astype(bool)
+    # one fetch for every dispatched chunk — per-chunk device_get would pay
+    # one tunnel round trip per chunk (the single-fetch rule of
+    # ``batching.solve_problems``)
+    fetched = jax.device_get([out for _, _, out in pending])
+    for (start, n, _), chunk_fg in zip(pending, fetched):
+        fg[start:start + n] = np.asarray(chunk_fg)[:n].astype(bool)
     return fg
 
 

@@ -114,7 +114,11 @@ def load_task_chain(rootpath, taskdir):
 
     lineage = [taskdir]
     while lineage[-1] != rootpath:
-        lineage.append(lineage[-1].parent)
+        parent = lineage[-1].parent
+        if parent == lineage[-1]:  # reached the filesystem root
+            raise ValueError(f'Task directory is not under the root path: '
+                             f'{taskdir} vs {rootpath}')
+        lineage.append(parent)
     tasks = []
     for directory in reversed(lineage):
         task = Task.create_from_directory(directory, tasks[-1] if tasks else None)

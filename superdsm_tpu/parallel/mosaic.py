@@ -75,11 +75,25 @@ def process_mosaic(pipeline, cfg, g_raw, tile=(1024, 1024), halo=160, out=None,
 
     done = [0]
 
+    # one device per EXECUTING THREAD (not per job index): thread pools pull
+    # jobs at different rates, so an index-based mapping can pin two in-flight
+    # tiles to the same chip while another sits idle
+    import threading
+    _tls = threading.local()
+    _assign = {'lock': threading.Lock(), 'next': 0}
+
+    def _thread_device():
+        if not hasattr(_tls, 'device'):
+            with _assign['lock']:
+                _tls.device = devices[_assign['next'] % len(devices)]
+                _assign['next'] += 1
+        return _tls.device
+
     def run_tile(args):
-        worker_idx, tile_idx, core_sel, pad_sel = args
+        tile_idx, core_sel, pad_sel = args
         tile_img = g_raw[pad_sel]
         tile_cfg = cfg.copy() if isinstance(cfg, Config) else Config(cfg)
-        with device_scope(devices[worker_idx % len(devices)]):
+        with device_scope(_thread_device()):
             data, _, _ = process_image(make_pipeline(), tile_cfg, tile_img,
                                        out=out.derive(muted=True))
         pad_off = np.array([pad_sel[0].start, pad_sel[1].start])
@@ -94,7 +108,7 @@ def process_mosaic(pipeline, cfg, g_raw, tile=(1024, 1024), halo=160, out=None,
         out.intermediate(f'Mosaic tiles: {done[0]} / {len(tiles)}...')
         return tile_idx, tile_objects
 
-    jobs = [(i % n_workers, i, core, pad) for i, (core, pad) in enumerate(tiles)]
+    jobs = [(i, core, pad) for i, (core, pad) in enumerate(tiles)]
     if n_workers == 1:
         results = [run_tile(j) for j in jobs]
     else:
@@ -111,8 +125,16 @@ def process_mosaic(pipeline, cfg, g_raw, tile=(1024, 1024), halo=160, out=None,
 
 
 def rasterize_mosaic_labels(shape, objects):
-    """Label map of mosaic objects (later objects win on rare overlaps)."""
+    """Label map of mosaic objects (later objects win on rare overlaps).
+
+    Writes only each object's masked pixels — ``fill_foreground`` assigns
+    the whole bounding box (zeroing the fragment's complement, its
+    reference-parity contract), which would erase earlier neighbors whose
+    masks fall inside a later object's bbox."""
     result = np.zeros(shape, np.int32)
     for label, obj in enumerate(objects, 1):
-        obj.fill_foreground(result, label)
+        off, frag = obj.fg_offset, obj.fg_fragment
+        view = result[off[0]: off[0] + frag.shape[0],
+                      off[1]: off[1] + frag.shape[1]]
+        view[frag] = label
     return result

@@ -26,7 +26,8 @@ except ImportError:  # jax < 0.8
     from jax.experimental.shard_map import shard_map
 
 from ..dsm.solver import (_poly_basis, _energy_from_surface, LS_STEPS,
-                          ARMIJO_C, DEFAULT_MAXITER, DEFAULT_TOL)
+                          ARMIJO_C, DEFAULT_MAXITER, DEFAULT_TOL,
+                          MU_MIN, MU_MAX)
 from ..dsm.smooth import build_smooth_matrix
 
 
@@ -79,7 +80,7 @@ def _sharded_newton(params0, Q, G, yv, w, alpha, epsilon, kmask,
         return data + reg
 
     def body(state):
-        it, params, conv, fval = state
+        it, params, conv, fval, mu = state
         s, data_loc, g_loc, H_loc = _local_contribs(params, Q, G, yv, w, kmask)
         f0 = jax.lax.psum(data_loc, pixel_axis)
         g = jax.lax.psum(g_loc, pixel_axis)
@@ -89,8 +90,10 @@ def _sharded_newton(params0, Q, G, yv, w, alpha, epsilon, kmask,
         g = g + reg_g
         H = H + jnp.diag(reg_h)
 
-        mu = 1e-8 * (jnp.trace(H) / n) + 1e-12
-        Hd = H + mu * jnp.eye(n, dtype=H.dtype)
+        # adaptive LM damping, mirroring dsm.solver._newton_step — a fixed
+        # tiny damping stalls on the near-singular Gauss-Newton Hessian
+        scale_h = jnp.trace(H) / n + 1e-12
+        Hd = H + (mu * scale_h) * jnp.eye(n, dtype=H.dtype)
         L, lower = jax.scipy.linalg.cho_factor(Hd)
         delta = -jax.scipy.linalg.cho_solve((L, lower), g)
         bad = ~jnp.all(jnp.isfinite(delta))
@@ -119,6 +122,7 @@ def _sharded_newton(params0, Q, G, yv, w, alpha, epsilon, kmask,
         pick = jnp.where(jnp.any(armijo), jnp.argmax(armijo), jnp.argmin(f_cand))
         improved = f_cand[pick] < f0
         t_step = jnp.where(improved, steps[pick], 0.0)
+        full_step = improved & (pick == 0)
 
         new_params = params + t_step * delta
         new_s = s + t_step * u
@@ -148,18 +152,27 @@ def _sharded_newton(params0, Q, G, yv, w, alpha, epsilon, kmask,
         new_params = new_params * c_best
         new_f = jnp.where(boost, f_sc[pick_sc], new_f)
 
-        new_conv = ((0.5 * decrement <= tol * (1.0 + jnp.abs(f0))) | (~improved)) \
-            & (~boost)
+        new_mu = jnp.where(full_step, jnp.maximum(mu * 0.25, MU_MIN),
+                           jnp.where(improved, mu, jnp.minimum(mu * 8.0, MU_MAX)))
+        # the main solver's convergence rule: decrement-small at low damping,
+        # or stuck at maximum damping — both only once the iteration's total
+        # gain (step + boost) is below tolerance
+        tiny_gain = (f0 - new_f) <= tol * (1.0 + jnp.abs(f0))
+        new_conv = ((0.5 * decrement <= tol * (1.0 + jnp.abs(f0)))
+                    & (mu <= 1e-4) & tiny_gain) | \
+                   ((~improved) & (mu >= MU_MAX) & tiny_gain)
         params = jnp.where(conv, params, new_params)
         fval = jnp.where(conv, fval, new_f)
-        return it + 1, params, conv | new_conv, fval
+        mu = jnp.where(conv, mu, new_mu)
+        return it + 1, params, conv | new_conv, fval, mu
 
     def cond(state):
-        it, params, conv, fval = state
+        it, params, conv, fval, mu = state
         return (it < maxiter) & (~conv)
 
-    state = (jnp.int32(0), params0, jnp.bool_(False), energy(params0))
-    it, params, conv, fval = jax.lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), params0, jnp.bool_(False), energy(params0),
+             jnp.asarray(1e-6, params0.dtype))
+    it, params, conv, fval, mu = jax.lax.while_loop(cond, body, state)
     return params, energy(params), conv
 
 

@@ -297,3 +297,16 @@ def test_export_cli_pipeline_modes(tmp_path):
         assert img.shape[:2] == (96, 96), (mode, img.shape)
         assert img.ndim == 3 and img.shape[2] in (3, 4), (mode, img.shape)
         assert img.std() > 0, mode  # actually rendered something
+
+
+def test_export_rejects_taskdir_outside_root(tmp_path):
+    """A taskdir that is not under the root path must raise instead of
+    walking ancestors forever."""
+    from superdsm_tpu.export import load_task_chain
+    root = tmp_path / 'root'
+    (root / 'task').mkdir(parents=True)
+    (root / 'task' / 'task.json').write_text('{"runnable": true}')
+    other = tmp_path / 'elsewhere'
+    other.mkdir()
+    with pytest.raises(ValueError, match='not under the root path'):
+        load_task_chain(str(root), str(other))

@@ -154,3 +154,33 @@ def test_pipeline_mesh_equivalence():
 
     assert len(data1['postprocessed_objects']) == len(data8['postprocessed_objects']) == 3
     assert (seg1 == seg8).all()
+
+
+def test_rasterize_mosaic_labels_overlapping_bboxes():
+    """A later object's bounding box overlapping an earlier object's mask
+    must not erase the earlier object (fill_foreground assigns the whole
+    bbox; the mosaic rasterizer must write only masked pixels)."""
+    import numpy as np
+    from superdsm_tpu.parallel.mosaic import MosaicObject, rasterize_mosaic_labels
+
+    class Obj:
+        def __init__(self, off, frag):
+            self.fg_offset = np.asarray(off)
+            self.fg_fragment = frag
+
+    # two diagonal L-shaped objects with interlocking bounding boxes
+    frag_a = np.zeros((6, 6), bool)
+    frag_a[:, :2] = True           # vertical bar at cols 0-1
+    frag_b = np.zeros((6, 6), bool)
+    frag_b[:, 4:] = True           # vertical bar at cols 4-5
+    a = MosaicObject(Obj((0, 0), frag_a), (0, 0))
+    b = MosaicObject(Obj((0, 3), frag_b), (0, 0))  # bbox covers cols 3-8
+
+    # b's bbox (cols 3-8) does NOT cover a's pixels here; shift so it does:
+    b2 = MosaicObject(Obj((0, 0), frag_b), (0, 0))  # bbox cols 0-5 covers a
+    labels = rasterize_mosaic_labels((8, 10), [a, b2])
+    assert (labels[:6, :2] == 1).all()   # object a intact
+    assert (labels[:6, 4:6] == 2).all()  # object b present
+    labels2 = rasterize_mosaic_labels((8, 10), [a, b])
+    assert (labels2[:6, :2] == 1).all()
+    assert (labels2[:6, 7:9] == 2).all()
