@@ -379,10 +379,18 @@ class Task:
         if missing:
             raise RuntimeError(f'{self._fmt_path(self.path)}: shards not ready '
                                f'(missing or stale: {missing} of {count})')
-        data, timings = {}, {}
+        # start from the existing task result (if any): shards that skipped
+        # writing (e.g. pickup at/after postprocess) contribute empty
+        # sidecars, and the unsharded path preserves the old data.dill.gz in
+        # that situation — the merge must not replace it with gaps
+        data, timings = {}, self._load_timings()
+        if self.result_path.exists():
+            with gzip.open(self.result_path, 'rb') as fin:
+                data = dill.load(fin)
         for i in range(count):
             with gzip.open(self.shard_result_path(i, count), 'rb') as fin:
-                data.update(dill.load(fin))
+                data.update({k: v for k, v in dill.load(fin).items()
+                             if v is not None})
             p = self.shard_timings_path(i, count)
             if p.exists():
                 with p.open('r') as fin:

@@ -310,3 +310,52 @@ def test_export_rejects_taskdir_outside_root(tmp_path):
     other.mkdir()
     with pytest.raises(ValueError, match='not under the root path'):
         load_task_chain(str(root), str(other))
+
+
+def test_shard_completes_under_skip_conditions(tmp_path):
+    """A sharded run that skips writing results (pickup at/after postprocess)
+    must still complete the shard (empty sidecar + digest) so merge_shards
+    can proceed — previously the shard stayed pending forever."""
+    root = tmp_path / 'root'
+    root.mkdir()
+    rng = np.random.RandomState(0)
+    rr, cc = np.indices((80, 80))
+    for i in range(2):
+        g = np.exp(-(((rr - 35) ** 2 + (cc - 40) ** 2) / (2 * (12 * 0.6) ** 2)))
+        g += rng.randn(80, 80).astype(np.float32) * 0.01
+        imsave(str(root / f'img{i}.png'), g.astype(np.float32), normalize=True)
+    spec = {
+        'runnable': True,
+        'img_pathpattern': '{ROOTDIR}/img%d.png',
+        'file_ids': [0, 1],
+        'seg_pathpattern': 'seg/%d.png',
+        'config': {'AF_scale': 8,
+                   'global-energy-minimization': {'beta': 0.5}},
+    }
+    json.dump(spec, (root / 'task.json').open('w'))
+
+    # full unsharded run produces data.dill.gz (the pickup source)
+    run_cli([str(root), '--run', '--no-fork'])
+    assert (root / 'data.dill.gz').exists()
+
+    # change only the postprocess config: pickup starts at 'postprocess',
+    # which is a skip-writing-results condition
+    spec['config']['postprocess'] = {'max_eccentricity': 0.98}
+    json.dump(spec, (root / 'task.json').open('w'))
+
+    for i in range(2):
+        run_cli([str(root), '--run', '--no-fork', '--shard', f'{i}/2'])
+        assert (root / f'.digest.shard-{i}-of-2').exists()
+        assert (root / f'data.shard-{i}-of-2.dill.gz').exists()
+
+    # shards are complete: re-runs skip, and the merge succeeds
+    run_cli([str(root), '--run', '--no-fork', '--shard', '0/2'])
+    run_cli([str(root), '--run', '--no-fork', '--merge-shards', '2'])
+    assert (root / '.digest').read_text()
+    assert not (root / 'data.shard-0-of-2.dill.gz').exists()
+    # the empty sidecars must NOT wipe the existing task result (the
+    # unsharded skip path preserves data.dill.gz; so must the merge)
+    with gzip.open(root / 'data.dill.gz', 'rb') as fin:
+        data = dill.load(fin)
+    assert all(data[i] is not None for i in (0, 1))
+    assert all(len(data[i]['postprocessed_objects']) == 1 for i in (0, 1))
