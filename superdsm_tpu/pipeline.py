@@ -151,7 +151,19 @@ class Pipeline:
         return data, cfg, timings
 
     def init(self, g_raw, cfg):
-        """Normalizes ``g_raw`` to [0, 1]; inverts histological RGB images."""
+        """Normalizes ``g_raw`` to [0, 1]; inverts histological RGB images.
+
+        Non-finite pixels (dead/hot camera pixels) are replaced by the median
+        of the finite pixels BEFORE normalization — a single inf otherwise
+        collapses the normalization to zeros and silently produces an empty
+        segmentation (the reference behaves that way,
+        ``/root/reference/superdsm/image.py:48``; sanitizing only non-finite
+        inputs leaves every valid image bit-identical)."""
+        g_raw = np.asarray(g_raw)
+        finite = np.isfinite(g_raw)
+        if not finite.all():
+            fill = np.median(g_raw[finite]) if finite.any() else 0.0
+            g_raw = np.where(finite, g_raw, fill)
         if cfg.get('histological', False):
             g_rgb = g_raw
             g_raw = g_raw.mean(axis=2)

@@ -258,3 +258,17 @@ def test_c2f_speculation_identical(monkeypatch):
     fp_off = sorted(tuple(sorted(o.original.footprint))
                     for o in data_off['postprocessed_objects'])
     assert fp_on == fp_off
+
+
+def test_nonfinite_pixels_sanitized():
+    """Dead/hot camera pixels (NaN / inf) must not collapse the
+    normalization and silently empty the segmentation."""
+    g = synthetic_blobs()
+    g_bad = g.copy()
+    g_bad[5, 5] = np.nan
+    g_bad[100, 100] = np.inf
+    cfg = Config()
+    cfg['c2f-region-analysis/min_atom_radius'] = 6
+    cfg['global-energy-minimization/beta'] = 0.5
+    data, _, _ = create_default_pipeline().process_image(g_bad, cfg)
+    assert len(data['postprocessed_objects']) == 3
