@@ -19,36 +19,57 @@ from ..output import get_output
 
 
 def process_images_pipelined(pipeline_factory, base_cfg, images, threads=2,
-                             process_image=None, out=None):
+                             process_image=None, out=None, devices=None):
     """Segments a list of images with host/device overlap.
 
     :param pipeline_factory: Zero-arg callable creating a fresh pipeline per
         worker thread.
     :param base_cfg: Hyperparameters (copied per image).
     :param images: Iterable of raw images.
-    :param threads: Worker threads (2-3 is enough; more adds GIL contention).
+    :param threads: Worker threads (2-3 per device is enough; more adds GIL
+        contention).
     :param process_image: Override for the per-image entry point; defaults to
         :func:`superdsm_tpu.automation.process_image`.
+    :param devices: Optional list of devices for image-level data
+        parallelism on a multi-chip host: worker threads round-robin onto
+        the devices (each thread pins its solves with
+        :class:`~superdsm_tpu.dsm.batching.device_scope`), so N chips
+        process N images concurrently. With the default ``None`` all
+        threads share the jit default device (single-chip host/device
+        overlap).
     :return: List of pipeline ``data`` dicts, aligned with ``images``.
     """
     from ..automation import process_image as _process_image
+    from ..dsm.batching import device_scope
     run_one = process_image or _process_image
     out = get_output(out)
 
     import threading
     local = threading.local()
+    assign = {'lock': threading.Lock(), 'next': 0}
 
     def worker(args):
         idx, img = args
         if not hasattr(local, 'pipeline'):
             local.pipeline = pipeline_factory()
+            if devices:
+                with assign['lock']:
+                    local.device = devices[assign['next'] % len(devices)]
+                    assign['next'] += 1
+            else:
+                local.device = None
         cfg = base_cfg.copy()
         # split-tree speculation wins latency by spending extra device
         # compute; with several images overlapping the device is already
         # saturated, so the extra compute only costs throughput (~4%
         # measured) — turn it off unless the caller pinned it
         cfg.set_default('c2f-region-analysis/speculate', False)
-        data, _, _ = run_one(local.pipeline, cfg, img, out=out.derive(muted=True))
+        muted = out.derive(muted=True)
+        if local.device is not None:
+            with device_scope(local.device):
+                data, _, _ = run_one(local.pipeline, cfg, img, out=muted)
+        else:
+            data, _, _ = run_one(local.pipeline, cfg, img, out=muted)
         return idx, data
 
     results = [None] * len(images)

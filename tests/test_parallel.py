@@ -184,3 +184,36 @@ def test_rasterize_mosaic_labels_overlapping_bboxes():
     labels2 = rasterize_mosaic_labels((8, 10), [a, b])
     assert (labels2[:6, :2] == 1).all()
     assert (labels2[:6, 7:9] == 2).all()
+
+
+def test_pipelined_stream_across_devices():
+    """Image-level data parallelism: pipelined workers pin distinct devices
+    (one image per chip) and produce the same results as the shared-device
+    stream."""
+    import jax
+    import numpy as np
+    from superdsm_tpu.parallel.pipelined import process_images_pipelined
+    from superdsm_tpu.pipeline import create_default_pipeline
+    from superdsm_tpu.config import Config
+
+    rng = np.random.RandomState(0)
+    rr, cc = np.indices((100, 100))
+    images = []
+    for i in range(4):
+        g = np.exp(-(((rr - 40 - 3 * i) ** 2 + (cc - 50) ** 2) / (2 * 9.0 ** 2)))
+        images.append((g + rng.randn(100, 100).astype(np.float32) * 0.01)
+                      .astype(np.float32))
+    cfg = Config({'AF_scale': 9})
+
+    shared = process_images_pipelined(create_default_pipeline, cfg, images,
+                                      threads=2)
+    devices = jax.devices()[:4]
+    assert len(devices) == 4  # conftest provides 8 virtual CPU devices
+    per_chip = process_images_pipelined(create_default_pipeline, cfg, images,
+                                        threads=4, devices=devices)
+    for a, b in zip(shared, per_chip):
+        ma = sorted((tuple(o.fg_offset), int(o.fg_fragment.sum()))
+                    for o in a['postprocessed_objects'])
+        mb = sorted((tuple(o.fg_offset), int(o.fg_fragment.sum()))
+                    for o in b['postprocessed_objects'])
+        assert ma == mb
