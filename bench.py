@@ -59,7 +59,7 @@ def main():
     # image to cover the remaining programs (preprocessing, renders)
     from superdsm_tpu.dsm.batching import warmup
     t0 = time.time()
-    warmup()
+    warmup_stats = warmup()
     # two unmeasured images: the first covers lazily-compiled programs, the
     # second absorbs the tunnel's warm-in decay (first dispatches after a
     # compile burst run ~30-50% slow)
@@ -67,6 +67,10 @@ def main():
         g_warm, _ = make_image(warm_seed)
         process_image(pipeline, base_cfg, g_warm, out=out)
     warmup_s = time.time() - t0
+    warmup_detail = (f"solver compile {warmup_stats['compile_s']:.1f}s, "
+                     f"device load+run {warmup_stats['load_s']:.1f}s over "
+                     f"{warmup_stats['n_programs']} programs, "
+                     f"warm images {warmup_s - warmup_stats['wall_s']:.1f}s")
 
     # latency: single image, sequential
     lat_times = []
@@ -92,24 +96,53 @@ def main():
         reps.append((time.time() - t0) / n_throughput)
     # The TPU sits behind a SHARED remote tunnel whose ambient load swings
     # measured times by >2x for identical code within hours (same-day
-    # same-commit medians: 1.9 and 4.1 s/image). Contention is strictly
-    # additive, so the MINIMUM over repetitions estimates the quantity of
-    # interest — dedicated-hardware throughput; the stderr line reports every
-    # repetition plus the median so the contention level is visible.
-    throughput = float(np.min(reps))
+    # same-commit medians: 1.9 and 4.1 s/image). The first repetition absorbs
+    # the post-warmup tunnel warm-in and is excluded; the HEADLINE is the
+    # median of the remaining repetitions (a min-of-N headline cannot detect
+    # a 20% regression under this variance — ADVICE r2), with the min
+    # reported alongside as the dedicated-hardware capability estimate
+    # (contention is strictly additive).
+    steady = reps[1:]
+    throughput = float(np.median(steady))
+    throughput_min = float(np.min(steady))
+
+    # tunnel-independent solver metric: full pipeline on the local CPU
+    # backend in a subprocess (see tools/cpu_proxy_bench.py). Stable to a few
+    # percent run-to-run, so solver regressions are detectable regardless of
+    # tunnel mood.
+    import subprocess
+    cpu_proxy = None
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu')
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          'tools', 'cpu_proxy_bench.py')],
+            env=env, capture_output=True, text=True, timeout=900)
+        for line in proc.stdout.splitlines():
+            if line.startswith('{'):
+                cpu_proxy = json.loads(line)
+    except (subprocess.TimeoutExpired, json.JSONDecodeError):
+        pass
 
     result = {
         'metric': 'bbbc039like_sec_per_image_batch',
         'value': round(throughput, 3),
         'unit': 's',
         'vs_baseline': round(2.0 / throughput, 3),
+        'sec_per_image_min': round(throughput_min, 3),
+        'sec_per_image_median': round(throughput, 3),
+        'latency_p50': round(float(np.median(lat_times)), 3),
+        'warmup_s': round(warmup_s, 1),
+        'cpu_proxy_sec_per_image': None if cpu_proxy is None
+            else cpu_proxy['cpu_proxy_sec_per_image'],
     }
     print(json.dumps(result))
-    print(f'# warmup {warmup_s:.1f}s; '
+    print(f'# warmup {warmup_s:.1f}s ({warmup_detail}); '
           f'latency p50 {np.median(lat_times):.2f}s min {np.min(lat_times):.2f}s '
           f'{["%.2f" % t for t in lat_times]}; '
           f'throughput reps {["%.2f" % r for r in reps]} '
-          f'(median {np.median(reps):.2f}); '
+          f'(median-after-first {throughput:.2f}, min {throughput_min:.2f}); '
+          f'cpu proxy {cpu_proxy}; '
           f'objects/image ~{total_objects / max(1, n_images):.1f}', file=sys.stderr)
 
 

@@ -183,7 +183,9 @@ def _write_performance_report(task_path, performance_path, data, overall_perform
     rows = [[str(task_path)], ['ID'] + fields]
     get_row = lambda prefix, perf: [prefix] + [getattr(perf, field) for field in fields]
     for file_id in data.keys():
-        rows.append(get_row(str(file_id), data[file_id]['performance']))
+        # files skipped with an error row (errors.csv) have no result
+        if data[file_id] is not None and 'performance' in data[file_id]:
+            rows.append(get_row(str(file_id), data[file_id]['performance']))
     rows.append(get_row('', overall_performance))
     with open(str(performance_path), 'w', newline='') as fout:
         csv_writer = csv.writer(fout, delimiter=';', quotechar='|', quoting=csv.QUOTE_MINIMAL)
@@ -376,6 +378,19 @@ class Task:
         missing = [i for i in range(count)
                    if not self.shard_result_path(i, count).exists()
                    or self.is_pending_shard(i, count)]
+        if missing and not self.is_pending:
+            # The digest is current, so a previous merge completed but
+            # crashed partway through deleting the sidecars: the survivors
+            # are consumed leftovers, not fresh shard results. Clean them up
+            # and skip instead of wedging on "shards not ready".
+            for i in sidecars:
+                self.shard_result_path(i, count).unlink(missing_ok=True)
+                self.shard_digest_path(i, count).unlink(missing_ok=True)
+                self.shard_timings_path(i, count).unlink(missing_ok=True)
+            out.write(f'Skipping merge (already merged; removed '
+                      f'{len(sidecars)} leftover sidecar(s)): '
+                      f'{self._fmt_path(self.path)}')
+            return None
         if missing:
             raise RuntimeError(f'{self._fmt_path(self.path)}: shards not ready '
                                f'(missing or stale: {missing} of {count})')
@@ -477,6 +492,24 @@ class Task:
                 if not dry and result is not None and 'performance' in result:
                     nonlocal_performance[0] += result['performance']
 
+            def _process_file_resilient(file_id, *args, **kwargs):
+                """Per-file fault isolation: a blob-free image makes scale
+                estimation raise (automation.py); the reference kills the
+                whole forked task on that (batch.py exits 1). We instead
+                record an error row and keep processing the remaining files
+                — a deliberate improvement over the reference behavior."""
+                try:
+                    return _process_file(*args, **kwargs)
+                except ValueError as error:
+                    if 'scale estimation failed' not in str(error):
+                        raise
+                    file_errors.append((file_id, str(error)))
+                    out3.write(Text.style(
+                        f'Error (skipped): {str(self.img_pathpattern) % file_id}'
+                        f' — {error}', Text.RED))
+                    return None, {}
+
+            file_errors = []
             nonlocal_performance = [performance]
             for file_id in file_ids:
                 if file_id not in data:
@@ -501,7 +534,8 @@ class Task:
                     # the latency-oriented c2f split-tree speculation (see
                     # superdsm_tpu.parallel.pipelined)
                     kwargs['cfg'].set_default('c2f-region-analysis/speculate', False)
-                    result, _timings = _process_file(
+                    result, _timings = _process_file_resilient(
+                        file_id,
                         dry, local.pipeline, data[file_id], first_stage=first_stage,
                         out=out3.derive(muted=True), **kwargs)
                     _compress_logs(_resolve_pathpattern(self.log_pathpattern, file_id))
@@ -529,13 +563,21 @@ class Task:
                                             f'{str(self.img_pathpattern) % file_id}', Text.BOLD)
                                + f' ({100 * progress:.0f}%)')
                     kwargs = _file_kwargs(file_id)
-                    result, _timings = _process_file(dry, pipeline, data[file_id],
-                                                     first_stage=first_stage,
-                                                     out=out3, **kwargs)
+                    result, _timings = _process_file_resilient(
+                        file_id, dry, pipeline, data[file_id],
+                        first_stage=first_stage, out=out3, **kwargs)
                     if not dry:
                         _compress_logs(kwargs['log_filepath'])
                     _finish_file(file_id, result, _timings)
             performance = nonlocal_performance[0]
+            if file_errors and not dry:
+                with (self.path / 'errors.csv').open('w', newline='') as fout:
+                    writer = csv.writer(fout)
+                    writer.writerow(['file_id', 'error'])
+                    writer.writerows(file_errors)
+                out2.write(Text.style(
+                    f'{len(file_errors)} file(s) skipped with errors '
+                    f'(see errors.csv)', Text.RED))
             out2.write('')
             if report is not None:
                 report.update(self, 'active')

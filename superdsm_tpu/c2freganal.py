@@ -86,8 +86,25 @@ def _hash_mask(mask):
     return hashlib.sha1(mask.astype(np.uint8)).digest()
 
 
+class SpecStats:
+    """Per-image speculation telemetry (VERDICT r2 item 9): speculative
+    solves issued vs later consumed as cache hits, so the speculation
+    ``budget`` is tunable from data (``SDSM_SOLVE_TELEMETRY=1`` prints the
+    per-image hit rate)."""
+
+    def __init__(self):
+        self.issued = 0
+        self.hits = 0
+        self.spec_keys = set()
+
+    def line(self):
+        rate = self.hits / self.issued if self.issued else float('nan')
+        return (f'speculation issued={self.issued} hits={self.hits} '
+                f'hit_rate={rate:.2f}')
+
+
 def _norm_energies(cache, masked_cluster, bg_edt, objs, atoms_map, background_margin,
-                   extra_masks=None):
+                   extra_masks=None, stats=None):
     """Sub-generator computing normalized energies r(ω) for several objects.
 
     Yields at most ONE solve request (``('solve', [cp_mask, ...])``) covering
@@ -105,7 +122,7 @@ def _norm_energies(cache, masked_cluster, bg_edt, objs, atoms_map, background_ma
     """
     pending = []
 
-    def classify(raw_mask):
+    def classify(raw_mask, speculative=False):
         # ONE derivation + degeneracy rule for real and speculative masks —
         # the energy cache is keyed by the cp-mask hash, so any divergence
         # here would silently turn speculation into dead compute
@@ -117,13 +134,19 @@ def _norm_energies(cache, masked_cluster, bg_edt, objs, atoms_map, background_ma
                 cache[key] = None
             else:
                 pending.append((key, cp_mask))
+                if speculative and stats is not None:
+                    stats.issued += 1
+                    stats.spec_keys.add(key)
+        if not speculative and stats is not None and key in stats.spec_keys:
+            stats.spec_keys.discard(key)  # count each speculative solve once
+            stats.hits += 1
         return key
 
     keys = [classify(obj.get_mask(atoms_map)) for obj in objs]
     if pending:
         if extra_masks is not None:
             for m in extra_masks():
-                classify(m)
+                classify(m, speculative=True)
         energies = yield ('solve', [mask for _, mask in pending])
         for (key, cp_mask), energy in zip(pending, energies):
             cache[key] = None if energy is None else energy / cp_mask.sum()
@@ -177,7 +200,7 @@ def _speculate_children(cluster, masked_cluster, children, seed_distances,
 
 def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radius,
                     min_norm_energy_improvement, background_margin, seed_connectivity,
-                    speculate=None):
+                    speculate=None, stats=None):
     """Generator running the split-queue loop of one cluster
     (semantics of ``/root/reference/superdsm/c2freganal.py:193-287``).
 
@@ -222,7 +245,7 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
         root_spec = None
     root_candidate.normalized_energy = (yield from _norm_energies(
         cache, masked_cluster, bg_edt, [root_candidate], atoms_map,
-        background_margin, extra_masks=root_spec))[0]
+        background_margin, extra_masks=root_spec, stats=stats))[0]
     if root_candidate.normalized_energy is None:
         root_candidate.normalized_energy = 0.0
     if root_candidate.seed is None:
@@ -275,7 +298,7 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
         try:
             child_energies = yield from _norm_energies(
                 cache, masked_cluster, bg_edt, [c1, c2], atoms_map,
-                background_margin, extra_masks=spec)
+                background_margin, extra_masks=spec, stats=stats)
         except Exception:
             child_energies = [None, None]
         c1.normalized_energy, c2.normalized_energy = child_energies
@@ -425,6 +448,7 @@ class C2F_RegionAnalysis(Stage):
             np.bincount(clusters.reshape(-1), minlength=1)) if l != 0]
         workers = {}
         clusters_by_label = {}
+        spec_stats = SpecStats()
         for cluster_label in cluster_labels:
             cluster = y.get_region(clusters == cluster_label, shrink=True)
             masked_cluster = cluster.get_region(cluster.shrink_mask(y_mask))
@@ -432,7 +456,7 @@ class C2F_RegionAnalysis(Stage):
             workers[cluster_label] = _cluster_worker(
                 cluster, masked_cluster, max_atom_norm_energy, min_atom_radius,
                 min_norm_energy_improvement, background_margin, seed_connectivity,
-                speculate=speculate)
+                speculate=speculate, stats=spec_stats)
 
         results = _drive_cluster_workers(workers, clusters_by_label, y.model.shape, out,
                                          newton_maxiter=newton_maxiter)
@@ -457,6 +481,9 @@ class C2F_RegionAnalysis(Stage):
         for old_label, atom_candidate in dict(atom_candidate_by_label).items():
             atom_candidate_by_label[label_translation[old_label]] = atom_candidate
         out.write(f'Extracted {atoms_map.max()} atoms (max energy rate: {max_normalized_energy:g})')
+        if _os.environ.get('SDSM_SOLVE_TELEMETRY') == '1':
+            import sys as _sys
+            print(f'[c2f] {spec_stats.line()}', file=_sys.stderr, flush=True)
 
         atom_nodes = [atom_candidate_by_label[atom_label].seed
                       for atom_label in sorted(label_translation.values())]

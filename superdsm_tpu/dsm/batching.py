@@ -212,6 +212,30 @@ def _warmup_shapes():
     return shapes
 
 
+def _warmup_job(kind, pb, kb, Bp, maxiter, tol, sigma, cutoff):
+    """Returns ``(jitted_fn, args)`` for one warmup shape (dummy inputs)."""
+    from .solver import _solve_poly_packed, _solve_dsm_packed
+    rng = np.random.RandomState(0)
+    PIXa = rng.randint(0, 50, (Bp, pb, 2)).astype(np.int16)
+    OFF = np.zeros((Bp, 2), np.int32)
+    CNT = np.full(Bp, pb, np.int32)
+    YQ = rng.randint(-32767, 32767, (Bp, pb)).astype(np.int16)
+    YS = np.ones(Bp, np.float32)
+    denom = np.array([63.0, 63.0], np.float32)
+    if kind == 'poly':
+        return _solve_poly_packed, (PIXa, OFF, CNT, YQ, YS, denom,
+                                    np.zeros((Bp, 6), np.float32),
+                                    int(maxiter), float(tol))
+    return _solve_dsm_packed, (PIXa, OFF, CNT, YQ, YS, denom,
+                               rng.randint(0, 50, (Bp, kb, 2)).astype(np.int16),
+                               np.ones((Bp, kb), np.float32),
+                               np.zeros((Bp, 6 + kb), np.float32),
+                               np.zeros(Bp, bool),
+                               np.full(Bp, 0.1, np.float32), 1.0,
+                               int(maxiter), float(tol), float(sigma),
+                               int(cutoff))
+
+
 def warmup(shapes=None, maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, sigma=4.0,
            cutoff=16, threads=8):
     """Pre-compiles the solver programs for ``shapes`` — an iterable of
@@ -223,50 +247,42 @@ def warmup(shapes=None, maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, sigma=4.0,
     Round 1 warmed the full bucket ladder (~134 programs, 150-370 s
     warm-cache per process); the observed set is ~30 programs.
 
-    Compilation requests are issued from a thread pool so a remote compile
-    service can overlap them. Typical use: once per process before batch
-    processing (`bench.py`, long batch runs).
+    Runs in two thread-pooled phases so the cost is attributable
+    (VERDICT r2 item 2): phase 1 traces + compiles every program WITHOUT
+    touching the device (``fn.lower(...).compile()`` — with the persistent
+    compile cache warm this is deserialization); phase 2 invokes each
+    program once and fetches a tiny leaf, paying the remote program
+    load + first dispatch through the device tunnel.
+
+    :return: ``{'wall_s', 'compile_s', 'load_s', 'n_programs'}``.
     """
     from concurrent.futures import ThreadPoolExecutor
-    rng = np.random.RandomState(0)
     if shapes is None:
         shapes = _warmup_shapes()
     shapes = sorted(set(map(tuple, shapes)))
+    t_start = _time.time()
 
-    def compile_poly(pb, Bp):
-        probs = [Problem(pts=rng.randint(0, 50, (pb, 2)).astype(np.int16),
-                         offset=np.zeros(2, np.int32), img_shape=(64, 64),
-                         yv=rng.randn(pb).astype(np.float32),
-                         sub=np.zeros((0, 2), np.int32))
-                 for _ in range(min(2, Bp))]
-        from .solver import pack_and_solve_poly
-        pack_and_solve_poly(probs, (64, 64), params0=[None] * len(probs),
-                            maxiter=maxiter, tol=tol, pb=pb, Bp=Bp)
+    def lower_one(shape):
+        fn, args = _warmup_job(*shape, maxiter, tol, sigma, cutoff)
+        fn.lower(*args).compile()
 
-    def compile_dsm(pb, kb, Bp):
-        from .solver import _solve_dsm_packed
-        PIXa = rng.randint(0, 50, (Bp, pb, 2)).astype(np.int16)
-        _solve_dsm_packed(PIXa, np.zeros((Bp, 2), np.int32),
-                          np.full(Bp, pb, np.int32),
-                          rng.randint(-32767, 32767, (Bp, pb)).astype(np.int16),
-                          np.ones(Bp, np.float32),
-                          np.array([63.0, 63.0], np.float32),
-                          rng.randint(0, 50, (Bp, kb, 2)).astype(np.int16),
-                          np.ones((Bp, kb), np.float32),
-                          np.zeros((Bp, 6 + kb), np.float32),
-                          np.zeros(Bp, bool),
-                          np.full(Bp, 0.1, np.float32), 1.0,
-                          int(maxiter), float(tol), float(sigma), int(cutoff))
+    def run_one(shape):
+        import jax
+        fn, args = _warmup_job(*shape, maxiter, tol, sigma, cutoff)
+        outs = fn(*args)
+        jax.device_get(outs[1][:1])  # tiny sync - block_until_ready is a
+        #                              no-op through the axon tunnel
 
     with ThreadPoolExecutor(max_workers=threads) as pool:
-        futures = []
-        for kind, pb, kb, Bp in shapes:
-            if kind == 'poly':
-                futures.append(pool.submit(compile_poly, pb, Bp))
-            else:
-                futures.append(pool.submit(compile_dsm, pb, kb, Bp))
-        for fut in futures:
-            fut.result()
+        list(pool.map(lower_one, shapes))
+    t_compiled = _time.time()
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        list(pool.map(run_one, shapes))
+    t_done = _time.time()
+    return {'wall_s': t_done - t_start,
+            'compile_s': t_compiled - t_start,
+            'load_s': t_done - t_compiled,
+            'n_programs': len(shapes)}
 
 
 @dataclass
@@ -387,10 +403,101 @@ def make_problem(region, img_shape=None, smooth_amount=np.inf,
                    sub=sub, tag=tag)
 
 
+class SolveTimeout(Exception):
+    """A solve round exceeded its wall-clock deadline (wedged device/tunnel)."""
+
+
+def _fetch_with_deadline(sel, timeout):
+    """``jax.device_get(sel)`` bounded by ``timeout`` seconds.
+
+    The TPU sits behind a remote tunnel; a wedged fetch would otherwise block
+    forever (and, in the forked batch CLI, hang the whole task queue). The
+    fetch runs on a daemon thread so an expired deadline abandons it — if the
+    tunnel later recovers, the orphaned result is dropped."""
+    import jax
+    if timeout is None:
+        return jax.device_get(sel)
+    box = {}
+
+    def _run():
+        try:
+            box['value'] = jax.device_get(sel)
+        except BaseException as error:  # propagate device errors to caller
+            box['error'] = error
+
+    thread = _threading.Thread(target=_run, daemon=True)
+    thread.start()
+    thread.join(timeout)
+    if thread.is_alive():
+        raise SolveTimeout(f'solve fetch exceeded {timeout:.0f}s deadline')
+    if 'error' in box:
+        raise box['error']
+    return box['value']
+
+
+def _host_energy_fg(p, params, alpha, epsilon, smooth_amount, cutoff):
+    """Numpy evaluation of ψ and the foreground mask at ``params``.
+
+    Used only on the wall-clock fallback path (the device cannot be fetched
+    from); mirrors the device energy (``solver._energy_from_surface`` +
+    ``smooth.build_smooth_matrix``) minus the int16 intensity quantization,
+    which is irrelevant for a fallback estimate."""
+    coords = p.norm_coords()
+    x1, x2 = coords[:, 0].astype(np.float64), coords[:, 1].astype(np.float64)
+    Q = np.stack([x1 * x1, x2 * x2, 2 * x1 * x2, 2 * x1, 2 * x2,
+                  np.ones_like(x1)], axis=-1)
+    params = np.zeros(6 + p.n_deform) if params is None else np.asarray(params, np.float64)
+    s = Q @ params[:6]
+    reg = 0.0
+    k = p.n_deform
+    if k and np.isfinite(smooth_amount) and len(params) >= 6 + k:
+        xi = params[6:6 + k]
+        # chunked over pixels: the dense (P, K) kernel block of an oversized
+        # region would not fit host memory in one piece
+        for lo in range(0, len(p.pts), 65536):
+            hi = lo + 65536
+            dr = p.pts[lo:hi, None, 0].astype(np.float64) - p.sub[None, :, 0]
+            dc = p.pts[lo:hi, None, 1].astype(np.float64) - p.sub[None, :, 1]
+            G = np.exp(-(dr * dr + dc * dc) / (2.0 * smooth_amount ** 2))
+            G[(np.abs(dr) > cutoff) | (np.abs(dc) > cutoff)] = 0.0
+            G /= np.maximum(G.sum(axis=1, keepdims=True), 1e-30)
+            s[lo:hi] += G @ xi
+        reg = alpha * p.alpha_scale * float(
+            np.sum(np.sqrt(xi * xi + epsilon) - np.sqrt(epsilon)))
+    data = float(np.sum(np.logaddexp(0.0, -p.yv.astype(np.float64) * s)))
+    return data + max(reg, 0.0), s > 0
+
+
+def _fallback_results_after_timeout(problems, oversized, alpha, epsilon,
+                                    smooth_amount, cutoff, fetch):
+    """Builds 'fallback' :class:`ProblemResult` rows from the initializations
+    after a :class:`SolveTimeout` — the host-side analog of the reference's
+    SIGALRM → fall-back-to-initialization path
+    (``/root/reference/superdsm/dsm.py:478-490``,
+    ``objects.py:394-411``)."""
+    results = []
+    for i, p in enumerate(problems):
+        factor, orig = oversized.get(i, (1.0, p))
+        eval_p = orig if fetch != 'energy' else p
+        params = p.init_params
+        if params is None:
+            params = np.zeros(6 + p.n_deform, np.float32)
+        energy, fg = _host_energy_fg(eval_p, params, alpha, epsilon,
+                                     smooth_amount, cutoff)
+        if i in oversized and fetch == 'energy':
+            energy *= factor
+        results.append(ProblemResult(
+            params=None if fetch == 'energy' else np.asarray(params, np.float32),
+            energy=float(energy), status='fallback', surface=None,
+            fg=None if fetch == 'energy' else fg, tag=p.tag))
+    return results
+
+
 def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                    gaussian_shape_multiplier=2, init='elliptical',
                    maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, out=None,
-                   progress_line='Computing objects', fetch='full'):
+                   progress_line='Computing objects', fetch='full',
+                   timeout=None):
     """Solves a list of :class:`Problem` in padded, bucketed batches.
 
     Problems without deformation dimensions run the packed 6-parameter
@@ -405,6 +512,13 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
         ``'energy'`` fetches only energies and fallback flags (the c2f
         normalized-energy rounds need nothing else, and the per-pixel
         foreground masks dominate the host<->device transfer volume).
+    :param timeout: wall-clock deadline (seconds) for the batched
+        dispatch+fetch round; on expiry every problem in the round falls
+        back to its initialization with status ``'fallback'`` and processing
+        continues. Batched analog of the reference's per-solve SIGALRM
+        ``cp_timeout`` (``/root/reference/superdsm/dsm.py:478-490``) — one
+        round solves many problems but runs in seconds, so the same default
+        (300 s) bounds a wedged tunnel without ever firing on healthy runs.
     :return: list of :class:`ProblemResult`, aligned with ``problems``.
     """
     from .solver import pack_and_solve_poly, _solve_dsm_packed
@@ -576,7 +690,14 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
         # iteration counters ride the same fetch (a second device_get would
         # cost another tunnel round trip and distort the timing it reports)
         sel = (sel, [outs[_idx[kind]['it']] for kind, _, outs in pending])
-    fetched = jax.device_get(sel)
+    try:
+        fetched = _fetch_with_deadline(sel, timeout)
+    except SolveTimeout:
+        if out is not None:
+            out.write(f'{progress_line}: deadline ({timeout:.0f}s) expired — '
+                      f'{len(problems)} solve(s) fall back to initialization')
+        return _fallback_results_after_timeout(
+            problems, oversized, alpha, epsilon, smooth_amount, cutoff, fetch)
     if _TELEMETRY:
         fetched, _its = fetched
     if _TELEMETRY:

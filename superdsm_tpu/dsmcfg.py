@@ -5,10 +5,13 @@ dictionary so downstream stages can consume it
 (cf. ``/root/reference/superdsm/dsmcfg.py:6-97``).
 
 Notes on TPU-design differences: ``cachesize``/``cachetest`` (cvxopt callback
-caching), ``smooth_mat_dtype``, ``smooth_mat_max_allocations`` (POSIX
-semaphore throttling) and ``cp_timeout`` (SIGALRM) are accepted for config
-compatibility but have no effect — the batched solver has static memory and a
-static iteration bound (``dsm/newton_maxiter``).
+caching), ``smooth_mat_dtype`` and ``smooth_mat_max_allocations`` (POSIX
+semaphore throttling) are accepted for config compatibility but have no
+effect — the batched solver has static memory and a static iteration bound
+(``dsm/newton_maxiter``). ``cp_timeout`` bounds each batched solve round's
+wall clock (dispatch+fetch through the device tunnel); on expiry the round's
+problems fall back to their initializations, the batched analog of the
+reference's per-solve SIGALRM (``/root/reference/superdsm/dsm.py:478-490``).
 """
 
 import numpy as np

@@ -245,7 +245,8 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
         init=dsm_cfg.get('init', 'elliptical'),
         maxiter=dsm_cfg.get('newton_maxiter', 50),
         tol=dsm_cfg.get('newton_tol', 1e-5), out=out,
-        progress_line=status_line[0])
+        progress_line=status_line[0],
+        timeout=dsm_cfg.get('cp_timeout', 300))
 
     dt = time.time() - t0
     fallbacks = 0

@@ -1,11 +1,19 @@
 """Staged segmentation pipeline with partial execution.
 
 Counterpart of the reference's ``superdsm/pipeline.py``
-(``/root/reference/superdsm/pipeline.py:10-265``): stages declare inputs and
-outputs, :func:`create_pipeline` topologically orders them,
-:meth:`Pipeline.process_image` supports ``first_stage``/``last_stage`` partial
-execution with carried-over ``data``, and each stage exposes a
-scale-dependent auto-configuration protocol (:meth:`Stage.configure`).
+(``/root/reference/superdsm/pipeline.py:10-265``). The :class:`Stage` /
+:class:`Pipeline` *protocol* — stage names, ``cfgns`` hyperparameter
+namespaces, declared inputs/outputs, the ``configure``/``configure_ex``
+auto-configuration contract, ``first_stage``/``last_stage`` partial
+execution (including the ``"<stage>+"`` resume-after notation), and the
+``(data, cfg, timings)`` return shape — is deliberately API-compatible: the
+batch pickup system, the automation layer, and user code written against the
+reference all program against it. The machinery behind the protocol is
+original: partial execution resolves to an index window over an
+``init``-prefixed slot list up front (the reference threads a stateful
+``ProcessingControl`` stepper through the loop), stage ordering is a ready-
+set topological sort, and ``init`` sanitizes non-finite camera pixels before
+normalization.
 """
 
 import math
@@ -16,6 +24,11 @@ import numpy as np
 from .output import get_output
 from .image import normalize_image
 from ._aux import mkdir
+
+#: Name of the implicit normalization step that precedes the first stage.
+#: ``process_image(first_stage='init')`` re-runs it; any later entry point
+#: skips it (the batch pickup system passes previously computed ``data``).
+INIT_SLOT = 'init'
 
 
 class Stage(object):
@@ -37,12 +50,10 @@ class Stage(object):
     ENABLED_BY_DEFAULT = True
 
     def __init__(self, name, cfgns=None, inputs=[], outputs=[]):
-        if cfgns is None:
-            cfgns = name
         self.name = name
-        self.cfgns = cfgns
-        self.inputs = dict([(key, key) for key in inputs])
-        self.outputs = dict([(key, key) for key in outputs])
+        self.cfgns = name if cfgns is None else cfgns
+        self.inputs = {key: key for key in inputs}
+        self.outputs = {key: key for key in outputs}
         self._callbacks = {}
 
     def _callback(self, name, *args, **kwargs):
@@ -57,27 +68,29 @@ class Stage(object):
             self._callbacks[name].remove(cb)
 
     def __call__(self, data, cfg, out=None, log_root_dir=None):
+        """Runs the stage on the shared ``data`` dict; returns seconds spent.
+
+        A stage disabled via ``<cfgns>/enabled`` is skipped (its ``skip``
+        callback still fires, so batch snapshot hooks see every file)."""
         out = get_output(out)
-        cfg = cfg.get(self.cfgns, {})
-        if cfg.get('enabled', self.ENABLED_BY_DEFAULT):
-            out.intermediate(f'Starting stage "{self.name}"')
-            self._callback('start', data)
-            input_data = {}
-            for data_key, input_data_key in self.inputs.items():
-                input_data[input_data_key] = data[data_key]
-            t0 = time.time()
-            output_data = self.process(input_data, cfg=cfg, out=out, log_root_dir=log_root_dir)
-            dt = time.time() - t0
-            assert len(set(output_data.keys()) ^ set(self.outputs)) == 0, \
-                f'stage "{self.name}" generated unexpected output'
-            for output_data_key, data_key in self.outputs.items():
-                data[data_key] = output_data[output_data_key]
-            self._callback('end', data)
-            return dt
-        else:
+        stage_cfg = cfg.get(self.cfgns, {})
+        if not stage_cfg.get('enabled', self.ENABLED_BY_DEFAULT):
             out.write(f'Skipping disabled stage "{self.name}"')
             self._callback('skip', data)
-            return 0
+            return 0.0
+        out.intermediate(f'Starting stage "{self.name}"')
+        self._callback('start', data)
+        taken = {alias: data[key] for key, alias in self.inputs.items()}
+        t0 = time.time()
+        produced = self.process(taken, cfg=stage_cfg, out=out,
+                                log_root_dir=log_root_dir)
+        elapsed = time.time() - t0
+        assert produced.keys() == self.outputs.keys(), \
+            f'stage "{self.name}" generated unexpected output'
+        for key, alias in self.outputs.items():
+            data[alias] = produced[key]
+        self._callback('end', data)
+        return elapsed
 
     def process(self, input_data, cfg, out, log_root_dir):
         """Runs this stage. Returns a dict of the declared outputs."""
@@ -87,27 +100,10 @@ class Stage(object):
         """Scale-dependent defaults; ``radius = sqrt(2)*scale``,
         ``diameter = 2*radius`` (cf. ``/root/reference/superdsm/pipeline.py:84-100``)."""
         radius = scale * math.sqrt(2)
-        diameter = 2 * radius
-        return self.configure_ex(scale, radius, diameter)
+        return self.configure_ex(scale, radius, 2 * radius)
 
     def configure_ex(self, scale, radius, diameter):
         return dict()
-
-
-class ProcessingControl:
-
-    def __init__(self, first_stage=None, last_stage=None):
-        self.started = first_stage is None
-        self.first_stage = first_stage
-        self.last_stage = last_stage
-
-    def step(self, stage):
-        if not self.started and stage == self.first_stage:
-            self.started = True
-        do_step = self.started
-        if stage == self.last_stage:
-            self.started = False
-        return do_step
 
 
 class Pipeline:
@@ -115,6 +111,27 @@ class Pipeline:
 
     def __init__(self):
         self.stages = []
+
+    def _slots(self):
+        """Executable slot names: the ``init`` pseudo-stage, then the stages."""
+        return [INIT_SLOT] + [stage.name for stage in self.stages]
+
+    def _stage_window(self, first_stage, last_stage):
+        """Resolves (first_stage, last_stage) names to an inclusive slot-index
+        window [lo, hi]; an unknown ``first_stage`` yields an empty window and
+        an unknown ``last_stage`` runs to the end — matching the reference's
+        stepper, which in those cases never starts / never stops."""
+        slots = self._slots()
+        if first_stage is None:
+            lo = 0
+        elif first_stage.endswith('+'):
+            lo = slots.index(first_stage[:-1]) + 1
+        elif first_stage in slots:
+            lo = slots.index(first_stage)
+        else:
+            lo = len(slots)
+        hi = slots.index(last_stage) if last_stage in slots else len(slots) - 1
+        return lo, hi
 
     def process_image(self, g_raw, cfg, first_stage=None, last_stage=None, data=None,
                       out=None, log_root_dir=None):
@@ -127,27 +144,24 @@ class Pipeline:
         With ``first_stage`` set, ``data`` from a previous run must be passed
         and earlier stages are skipped (the batch pickup mechanism).
         """
+        out = get_output(out)
         cfg = cfg.copy()
         if log_root_dir is not None:
             mkdir(log_root_dir)
-        if first_stage == self.stages[0].name and data is None:
-            first_stage = None
-        if first_stage is not None and first_stage.endswith('+'):
-            first_stage = self.stages[1 + self.find(first_stage[:-1])].name
-        if first_stage is not None and last_stage is not None and \
-                self.find(first_stage) > self.find(last_stage):
+        if data is None and first_stage == self._slots()[1]:
+            first_stage = None  # a fresh run from the first stage includes init
+        lo, hi = self._stage_window(first_stage, last_stage)
+        if first_stage is not None and last_stage is not None and lo > hi:
             return data, cfg, {}
-        out = get_output(out)
-        ctrl = ProcessingControl(first_stage, last_stage)
-        if ctrl.step('init'):
+        if lo == 0:
             data = self.init(g_raw, cfg)
         else:
             assert data is not None, 'data argument must be provided if first_stage is used'
         timings = {}
-        for stage in self.stages:
-            if ctrl.step(stage.name):
-                dt = stage(data, cfg, out=out, log_root_dir=log_root_dir)
-                timings[stage.name] = dt
+        for index, stage in enumerate(self.stages, start=1):
+            if lo <= index <= hi:
+                timings[stage.name] = stage(data, cfg, out=out,
+                                            log_root_dir=log_root_dir)
         return data, cfg, timings
 
     def init(self, g_raw, cfg):
@@ -164,51 +178,43 @@ class Pipeline:
         if not finite.all():
             fill = np.median(g_raw[finite]) if finite.any() else 0.0
             g_raw = np.where(finite, g_raw, fill)
+        data = {}
         if cfg.get('histological', False):
-            g_rgb = g_raw
+            data['g_rgb'] = g_raw
             g_raw = g_raw.mean(axis=2)
             g_raw = g_raw.max() - g_raw
-        else:
-            g_rgb = None
-        data = dict(g_raw=normalize_image(g_raw))
-        if g_rgb is not None:
-            data['g_rgb'] = g_rgb
+        data['g_raw'] = normalize_image(g_raw)
         return data
 
     def find(self, stage_name, not_found_dummy=np.inf):
         """Position of the stage named ``stage_name`` (or ``not_found_dummy``)."""
-        try:
-            return [stage.name for stage in self.stages].index(stage_name)
-        except ValueError:
-            return not_found_dummy
+        for index, stage in enumerate(self.stages):
+            if stage.name == stage_name:
+                return index
+        return not_found_dummy
 
     def append(self, stage, after=None):
         if after is None:
             self.stages.append(stage)
-        else:
-            if isinstance(after, str):
-                after = self.find(after)
-            self.stages.insert(after + 1, stage)
+            return
+        position = self.find(after) if isinstance(after, str) else after
+        self.stages.insert(position + 1, stage)
 
 
 def create_pipeline(stages):
-    """Builds a :class:`Pipeline`, ordering stages by their declared I/O."""
-    available_inputs = set(['g_raw'])
-    remaining_stages = list(stages)
-
+    """Builds a :class:`Pipeline`, ordering stages by their declared I/O
+    (ready-set topological sort seeded with the raw image)."""
     pipeline = Pipeline()
-    while len(remaining_stages) > 0:
-        next_stage = None
-        for stage in remaining_stages:
-            if frozenset(stage.inputs.keys()).issubset(available_inputs):
-                next_stage = stage
-                break
-        if next_stage is None:
+    provided = {'g_raw'}
+    pending = list(stages)
+    while pending:
+        ready = next((stage for stage in pending
+                      if provided.issuperset(stage.inputs)), None)
+        if ready is None:
             raise ValueError('failed to resolve total ordering')
-        remaining_stages.remove(next_stage)
-        pipeline.append(next_stage)
-        available_inputs |= frozenset(next_stage.outputs.keys())
-
+        pending.remove(ready)
+        provided.update(ready.outputs)
+        pipeline.append(ready)
     return pipeline
 
 
@@ -220,12 +226,10 @@ def create_default_pipeline():
     from .globalenergymin import GlobalEnergyMinimization
     from .postprocess import Postprocessing
 
-    stages = [
+    return create_pipeline([
         Preprocessing(),
         DSM_Config(),
         C2F_RegionAnalysis(),
         GlobalEnergyMinimization(),
         Postprocessing(),
-    ]
-
-    return create_pipeline(stages)
+    ])
