@@ -16,7 +16,8 @@ from .output import get_output
 from ._aux import copy_dict
 from .image import bbox as _bbox
 from .dsm.model import DeformableShapeModel, polynomial_basis
-from .dsm.batching import Problem, ProblemResult, make_problem, solve_problems
+from .dsm.batching import (Problem, ProblemResult, make_problem,
+                           solve_problems, _on_cpu)
 
 
 class BaseObject:
@@ -246,7 +247,12 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
         maxiter=dsm_cfg.get('newton_maxiter', 50),
         tol=dsm_cfg.get('newton_tol', 1e-5), out=out,
         progress_line=status_line[0],
-        timeout=dsm_cfg.get('cp_timeout', 300))
+        # The deadline detects a WEDGED device tunnel (rounds normally run in
+        # seconds there). On the local CPU backend big rounds legitimately
+        # take many minutes and there is no tunnel to wedge, so the guard is
+        # disabled — measured: the 39-problem BBBC033 atom/universe round
+        # exceeds 300 s of honest CPU compute.
+        timeout=None if _on_cpu() else dsm_cfg.get('cp_timeout', 300))
 
     dt = time.time() - t0
     fallbacks = 0

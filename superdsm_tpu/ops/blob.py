@@ -51,18 +51,58 @@ def _conv_sep(x, krow, kcol):
     return out[0, 0]
 
 
-@functools.partial(jax.jit, static_argnames=('sigma',))
-def _doh_response(img, sigma):
-    """Scale-normalized DoH response and LoG at one sigma (device)."""
-    g, _, g2 = _gaussian_derivative_kernels(sigma)
-    Lxx = _conv_sep(img, g2, g)
-    Lyy = _conv_sep(img, g, g2)
-    # L_xy via two first-derivative passes
-    _, g1, _ = _gaussian_derivative_kernels(sigma)
-    Lxy = _conv_sep(img, g1, g1)
-    doh = (sigma ** 4) * (Lxx * Lyy - Lxy * Lxy)
-    log = (Lxx + Lyy)
-    return doh, log
+#: Largest sigma evaluated at full resolution. Larger scales are computed on
+#: a 2^k-downsampled octave with sigma/2^k (scale-normalized derivatives are
+#: invariant under this rescaling), which keeps every convolution kernel
+#: small: a direct conv at sigma=141 (radius-200 blobs) would need ~1100
+#: taps per axis and compiles pathologically slowly, while the octave
+#: version bounds kernels at ~80 taps. Peak localization quantizes to 2^k
+#: pixels — negligible against blob radius ~ 2.8 sigma at those scales.
+SIGMA_OCTAVE_MAX = 10.0
+
+
+def _downsample2(x):
+    """2x2 mean pooling (octave step; the preceding octave's Gaussian blur
+    acts as the antialias filter)."""
+    H2, W2 = (x.shape[0] // 2) * 2, (x.shape[1] // 2) * 2
+    x = x[:H2, :W2]
+    return (x[0::2, 0::2] + x[0::2, 1::2] + x[1::2, 0::2] + x[1::2, 1::2]) * 0.25
+
+
+def _octave_of(sigma):
+    k = 0
+    while sigma > SIGMA_OCTAVE_MAX:
+        sigma /= 2.0
+        k += 1
+    return k, sigma
+
+
+@functools.partial(jax.jit, static_argnames=('sigmas',))
+def _doh_response(img, sigmas):
+    """Scale-normalized DoH responses and LoGs for a static tuple of sigmas
+    in ONE device program (one compile per image shape, one fetch per image;
+    the per-sigma version paid both per sigma). Returns two (S, H, W) cubes
+    at full resolution; octave-computed levels are nearest-upsampled."""
+    H, W = img.shape
+    levels = [img]
+    dohs, logs = [], []
+    for sigma in sigmas:
+        k, s_eff = _octave_of(float(sigma))
+        while len(levels) <= k:
+            levels.append(_downsample2(levels[-1]))
+        x = levels[k]
+        g, g1, g2 = _gaussian_derivative_kernels(s_eff)
+        Lxx = _conv_sep(x, g2, g)
+        Lyy = _conv_sep(x, g, g2)
+        Lxy = _conv_sep(x, g1, g1)
+        doh = (s_eff ** 4) * (Lxx * Lyy - Lxy * Lxy)
+        log = (Lxx + Lyy)
+        if k:
+            doh = jax.image.resize(doh, (H, W), 'nearest')
+            log = jax.image.resize(log, (H, W), 'nearest')
+        dohs.append(doh)
+        logs.append(log)
+    return jnp.stack(dohs), jnp.stack(logs)
 
 
 def _prune_blobs(blobs, overlap):
@@ -108,14 +148,11 @@ def blob_doh(image, sigma_list, threshold=0.01, overlap=0.5, log_mask=True):
         ``/root/reference/superdsm/automation.py:52``).
     """
     img = jnp.asarray(np.asarray(image, np.float32))
-    cube = []
-    for sigma in sigma_list:
-        doh, log = _doh_response(img, float(sigma))
-        doh = np.asarray(doh)
-        if log_mask:
-            doh = doh * (np.asarray(log) < 0)
-        cube.append(doh)
-    cube = np.dstack(cube)
+    dohs, logs = _doh_response(img, tuple(float(s) for s in sigma_list))
+    dohs, logs = jax.device_get((dohs, logs))
+    if log_mask:
+        dohs = dohs * (logs < 0)
+    cube = np.moveaxis(dohs, 0, -1)
     footprint = np.ones((3, 3, 3), bool)
     local_max = (ndi.maximum_filter(cube, footprint=footprint, mode='constant') == cube)
     local_max &= cube > threshold

@@ -42,6 +42,32 @@ def _tile_grid(shape, tile, halo):
             yield (np.s_[r0:r1, c0:c1], np.s_[pr0:pr1, pc0:pc1])
 
 
+def _check_halo(obj, pad_off, pad_sel, mosaic_shape, halo, out):
+    """Warns loudly when a KEPT object approaches or hits its tile crop —
+    exactness of the centroid-ownership rule requires object diameter <
+    ``halo``, and a silent violation truncates the object's mask
+    (VERDICT r2 item 8)."""
+    import warnings
+    frag_shape = np.asarray(obj.fg_fragment.shape)
+    lo = np.asarray(obj.fg_offset)          # tile-local
+    hi = lo + frag_shape
+    pad_shape = np.array([pad_sel[0].stop - pad_sel[0].start,
+                          pad_sel[1].stop - pad_sel[1].start])
+    # a tile edge that coincides with the mosaic edge cannot truncate
+    at_mosaic_lo = pad_off == 0
+    at_mosaic_hi = pad_off + pad_shape == np.asarray(mosaic_shape)
+    touches = ((lo == 0) & ~at_mosaic_lo).any() or \
+              ((hi == pad_shape) & ~at_mosaic_hi).any()
+    extent = int(frag_shape.max())
+    if touches or extent >= 0.8 * halo:
+        reason = ('is clipped by its tile crop' if touches else
+                  f'extent {extent}px approaches the halo ({halo}px)')
+        message = (f'mosaic object at {tuple(pad_off + lo)} {reason}; '
+                   f'increase halo beyond the largest object diameter')
+        warnings.warn(message, RuntimeWarning)
+        out.write(f'WARNING: {message}')
+
+
 def process_mosaic(pipeline, cfg, g_raw, tile=(1024, 1024), halo=160, out=None,
                    devices=None):
     """Segments a large mosaic tile by tile.
@@ -104,6 +130,7 @@ def process_mosaic(pipeline, cfg, g_raw, tile=(1024, 1024), halo=160, out=None,
             if (core_sel[0].start <= center[0] < core_sel[0].stop and
                     core_sel[1].start <= center[1] < core_sel[1].stop):
                 tile_objects.append(MosaicObject(obj, pad_off))
+                _check_halo(obj, pad_off, pad_sel, g_raw.shape, halo, out)
         done[0] += 1
         out.intermediate(f'Mosaic tiles: {done[0]} / {len(tiles)}...')
         return tile_idx, tile_objects

@@ -99,6 +99,34 @@ def test_mosaic_processing():
         assert abs(fr - er) <= 3 and abs(fc - ec) <= 3
 
 
+def test_mosaic_halo_guard_warns_on_truncation():
+    """A kept object whose extent approaches the halo (or whose mask is
+    clipped by the tile crop) must warn loudly instead of silently
+    truncating (VERDICT r2 item 8)."""
+    import warnings
+    import numpy as np
+    from superdsm_tpu.parallel.mosaic import process_mosaic
+    from superdsm_tpu.pipeline import create_default_pipeline
+    from superdsm_tpu.config import Config
+
+    rng = np.random.RandomState(0)
+    H, W = 160, 160
+    rr, cc = np.indices((H, W))
+    # one blob with diameter ~ 40 px, processed with halo=24 -> extent >= 0.8*halo
+    g = np.exp(-(((rr - 80) ** 2 + (cc - 80) ** 2) / (2 * 12.0 ** 2))).astype(np.float32)
+    g += rng.randn(H, W).astype(np.float32) * 0.02
+
+    cfg = Config({'AF_scale': 10})
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        objects, n_tiles = process_mosaic(create_default_pipeline(), cfg, g,
+                                          tile=(80, 80), halo=24)
+    assert n_tiles == 4
+    halo_warnings = [w for w in caught if issubclass(w.category, RuntimeWarning)
+                     and 'halo' in str(w.message)]
+    assert halo_warnings, 'truncation-risk object did not warn'
+
+
 def test_pipelined_matches_sequential():
     from superdsm_tpu.parallel.pipelined import process_images_pipelined
     from superdsm_tpu.config import Config

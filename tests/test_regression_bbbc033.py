@@ -1,0 +1,54 @@
+"""CI gate for the real-image BBBC033 regression (VERDICT r2 item 1).
+
+The full 1024x1344 slice takes several minutes on the CPU backend, so the
+gate is part of the slow lane (``tools/run_slow_gates.py``; set
+``SDSM_SLOW_TESTS=1`` to include it in a pytest run). The fast suite still
+guards the harness itself via ``test_bbbc033_assets_and_goldens``.
+"""
+
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+from tests.regression.run_bbbc033 import (INPUT_PNG, GOLDEN_PNG, EXPECTED,
+                                          segment, compare)
+
+needs_assets = pytest.mark.skipif(not INPUT_PNG.exists(),
+                                  reason='reference assets unavailable')
+
+
+@needs_assets
+def test_bbbc033_assets_and_goldens():
+    """The committed goldens must exist and describe the same image as the
+    reference's shipped golden label map (fast sanity of the harness)."""
+    import PIL.Image
+    from tests.regression.validate import load_csv, summarize_label_map, match_rows
+
+    gold = np.array(PIL.Image.open(GOLDEN_PNG))
+    assert gold.shape == (1344, 1024)
+    gold_rows = summarize_label_map(gold)
+    assert len(gold_rows) >= 10
+
+    expected_file = EXPECTED / 'bbbc033-z28.csv'
+    assert expected_file.exists(), \
+        'run tests/regression/run_bbbc033.py --update-expected'
+    exp_rows = load_csv(expected_file)
+    # the committed goldens must themselves match the reference golden under
+    # the regression tolerances — guards against committing a drifted golden
+    matched, spurious, missing = match_rows(exp_rows, gold_rows,
+                                            center_tol=10.0, size_tol=0.25)
+    assert not missing, f'committed goldens miss reference objects: {missing}'
+    assert not spurious, f'committed goldens add spurious objects: {spurious}'
+
+
+@needs_assets
+@pytest.mark.skipif(os.environ.get('SDSM_SLOW_TESTS') != '1',
+                    reason='several minutes on CPU; set SDSM_SLOW_TESTS=1')
+def test_bbbc033_end_to_end():
+    """Full pipeline on the real slice, matched against the shipped
+    reference golden and the committed goldens."""
+    seg, _ = segment()
+    errors = compare(seg)
+    assert not errors, '\n'.join(errors)
