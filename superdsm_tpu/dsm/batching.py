@@ -196,13 +196,19 @@ def _record_shapes(entries):
         pass
 
 
-def _warmup_shapes():
-    """Union of the shipped default shape list (observed on bench-like
-    workloads) and the shapes this machine has actually dispatched."""
+def _warmup_shapes(include_observed=False):
+    """The shipped default shape list (observed on bench-like workloads);
+    with ``include_observed`` also the shapes this machine has dispatched.
+
+    The observed sidecar grows with every distinct workload (a single large
+    mosaic adds its own bucket ladder), so it is opt-in: warming an
+    unbounded union made warmup time REGRESS across rounds while priming
+    shapes the current workload never uses."""
     import json
     shapes = set()
     default_path = _os.path.join(_os.path.dirname(__file__), 'warmup_shapes.json')
-    for path in (default_path, _shape_stats_path()):
+    paths = [default_path] + ([_shape_stats_path()] if include_observed else [])
+    for path in paths:
         if path and _os.path.exists(path):
             try:
                 with open(path) as fp:
