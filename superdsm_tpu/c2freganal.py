@@ -34,17 +34,22 @@ from .dsm.batching import make_problem, solve_problems
 
 def _get_next_seed(region, where, score_func, connectivity=4):
     """Connected component of local maxima maximizing ``score_func``
-    (cf. ``/root/reference/superdsm/c2freganal.py:15-29``)."""
-    if connectivity == 4:
-        footprint = disk(1)
-    elif connectivity == 8:
-        footprint = np.ones((3, 3))
-    else:
+    (cf. ``/root/reference/superdsm/c2freganal.py:15-29``).
+
+    The local-maximum locus depends only on (region intensities,
+    connectivity), while the split loop calls this once per split attempt
+    with a different ``where`` — the maximum filter is memoized on the
+    region object (profiled: it dominated the seed-search host time)."""
+    if connectivity not in (4, 8):
         raise ValueError(f'unknown connectivity: {connectivity}')
+    cache = getattr(region, '_max_locus_cache', None)
+    if cache is None or cache[0] != connectivity:
+        footprint = disk(1) if connectivity == 4 else np.ones((3, 3))
+        image_max = ndi.maximum_filter(region.model, footprint=footprint)
+        cache = (connectivity, image_max == region.model)
+        region._max_locus_cache = cache
     mask = np.logical_and(region.mask, where)
-    image = region.model
-    image_max = ndi.maximum_filter(image, footprint=footprint)
-    max_mask = np.logical_and(image_max == image, mask)
+    max_mask = np.logical_and(cache[1], mask)
     if max_mask.any():
         maxima = ndi.label(max_mask)[0]
         maxima_labels = frozenset(maxima.reshape(-1)) - {0}
@@ -83,7 +88,9 @@ def _normalize_labels_map(labels, first_label=0, skip_labels=[]):
 
 
 def _hash_mask(mask):
-    return hashlib.sha1(mask.astype(np.uint8)).digest()
+    # packbits first: 8x less data through sha1 (key stays injective for the
+    # per-cluster fixed mask shape the cache is scoped to)
+    return hashlib.sha1(np.packbits(mask)).digest()
 
 
 class SpecStats:
