@@ -274,7 +274,12 @@ def warmup(shapes=None, maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, sigma=4.0,
 
     def run_one(shape):
         import jax
-        fn, args = _warmup_job(*shape, maxiter, tol, sigma, cutoff)
+        # maxiter is a TRACED argument, so maxiter=1 exercises the SAME
+        # program while paying ~maxiter times less dummy device compute —
+        # measured: the "load" phase was dominated by the dummy executions
+        # serializing on the one chip (50 Newton iterations at full batch),
+        # not by program loading
+        fn, args = _warmup_job(*shape, 1, tol, sigma, cutoff)
         outs = fn(*args)
         jax.device_get(outs[1][:1])  # tiny sync - block_until_ready is a
         #                              no-op through the axon tunnel
