@@ -21,33 +21,60 @@ REPO = pathlib.Path(__file__).parents[2]
 sys.path.insert(0, str(REPO))
 
 
+#: (task dir, own-goldens dir, reference-goldens dir or None). The variants
+#: mirror the reference's dataset families: glare (NIH3T3-like saturated
+#: spots + illumination gradient), dim (GOWT1-like low contrast), and the
+#: ISBI'24 greedy-pruning task over the base data (reference
+#: ``examples/BBBC039/isbi24``).
+TASKS = [
+    ('synthetic/default', 'synthetic', 'reference-synthetic'),
+    ('synthetic-glare/default', 'synthetic-glare', 'reference-synthetic-glare'),
+    ('synthetic-dim/default', 'synthetic-dim', 'reference-synthetic-dim'),
+    ('synthetic/isbi24', 'synthetic-isbi24', None),
+]
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--update-expected', action='store_true')
+    parser.add_argument('--tasks', nargs='*', default=None,
+                        help='subset of task dirs (default: all)')
     args = parser.parse_args()
 
     subprocess.run([sys.executable, str(REPO / 'examples/synthetic/generate.py')],
                    check=True)
-    subprocess.run([sys.executable, '-m', 'superdsm_tpu.batch', str(REPO / 'examples'),
-                    '--task-dir', 'synthetic/default', '--run', '--no-fork', '--force'],
-                   check=True, cwd=str(REPO))
-
     from tests.regression.validate import validate
-    seg_dir = REPO / 'examples/synthetic/default/seg'
-    expected = REPO / 'tests/regression/expected/synthetic'
-    with tempfile.TemporaryDirectory() as actual_csv:
-        errors = validate(str(seg_dir), actual_csv, str(expected),
-                          update_expected=args.update_expected,
-                          center_tol=3.0, size_tol=0.1, max_unmatched=0)
-    # parity against the goldens produced by the ACTUAL reference
-    # implementation (tools/refshim/run_reference.py; see VALIDATION.md)
-    ref_expected = REPO / 'tests/regression/expected/reference-synthetic'
-    with tempfile.TemporaryDirectory() as actual_csv:
-        errors += [f'[vs reference] {e}' for e in validate(
-            str(seg_dir), actual_csv, str(ref_expected),
-            update_expected=False, center_tol=3.0, size_tol=0.1,
-            max_unmatched=0)]
-    errors += score_against_reference(seg_dir, ref_expected / 'seg')
+
+    errors = []
+    for task_dir, own, ref in TASKS:
+        if args.tasks and task_dir not in args.tasks:
+            continue
+        subprocess.run([sys.executable, '-m', 'superdsm_tpu.batch',
+                        str(REPO / 'examples'), '--task-dir', task_dir,
+                        '--run', '--no-fork', '--force'],
+                       check=True, cwd=str(REPO))
+        seg_dir = REPO / 'examples' / task_dir / 'seg'
+        expected = REPO / 'tests/regression/expected' / own
+        with tempfile.TemporaryDirectory() as actual_csv:
+            errors += [f'[{task_dir}] {e}' for e in validate(
+                str(seg_dir), actual_csv, str(expected),
+                update_expected=args.update_expected,
+                center_tol=3.0, size_tol=0.1, max_unmatched=0)]
+        # parity against the goldens produced by the ACTUAL reference
+        # implementation (tools/refshim/run_reference.py; see VALIDATION.md)
+        if ref is not None:
+            ref_expected = REPO / 'tests/regression/expected' / ref
+            if ref_expected.exists():
+                with tempfile.TemporaryDirectory() as actual_csv:
+                    errors += [f'[{task_dir} vs reference] {e}' for e in validate(
+                        str(seg_dir), actual_csv, str(ref_expected),
+                        update_expected=False, center_tol=3.0, size_tol=0.1,
+                        max_unmatched=0)]
+                errors += [f'[{task_dir}] {e}' for e in
+                           score_against_reference(seg_dir, ref_expected / 'seg')]
+            else:
+                errors.append(f'[{task_dir}] reference goldens missing: '
+                              f'{ref_expected}')
     if args.update_expected:
         print('Expected CSVs updated.')
         return

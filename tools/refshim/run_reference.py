@@ -71,9 +71,17 @@ def _patch_mkl():
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('--images', type=int, nargs='*', default=[0, 1, 2, 3])
-    parser.add_argument('--outdir', default=str(HERE / 'out'))
+    parser.add_argument('--images', type=int, nargs='*', default=None)
+    parser.add_argument('--dataset', default='synthetic',
+                        help='examples/data/<dataset> (synthetic, '
+                             'synthetic-glare, synthetic-dim)')
+    parser.add_argument('--outdir', default=None)
     args = parser.parse_args()
+    if args.images is None:
+        args.images = list(range(4 if args.dataset == 'synthetic' else 3))
+    if args.outdir is None:
+        args.outdir = str(HERE / ('out' if args.dataset == 'synthetic'
+                                  else f'out-{args.dataset}'))
 
     import superdsm.automation
     import superdsm.config
@@ -99,7 +107,7 @@ def main():
 
     timings = {}
     for image_id in args.images:
-        img_path = REPO / 'examples' / 'data' / 'synthetic' / f'img-{image_id}.png'
+        img_path = REPO / 'examples' / 'data' / args.dataset / f'img-{image_id}.png'
         g_raw = superdsm.io.imread(str(img_path))
         print(f'[refshim] img-{image_id}: {g_raw.shape} {g_raw.dtype}',
               file=sys.stderr, flush=True)
