@@ -25,7 +25,12 @@ from .solver import solve_polynomial_batch, solve_dsm_batch, DEFAULT_MAXITER, DE
 from .smooth import prepare_deformation, smooth_matrix_params
 
 #: Pixel-count buckets (padded shapes compile once each).
-P_BUCKETS = [2048, 8192, 32768, 131072, 524288, 2097152]
+P_BUCKETS = [2048, 8192, 16384, 32768, 131072, 524288, 2097152]
+# 16384 splits what used to be a 4x jump (8192 -> 32768): on bench-like
+# nuclei fields ~40% of the DSM solves have 8192 < P <= 16384 and were
+# padded to 32768 — the padding rows are dead compute for the entire Newton
+# loop, and padding is trajectory-preserving (padded pixels carry zero
+# weight), so the finer bucket is a pure perf win.
 #: Deformation-dimension buckets.
 K_BUCKETS = [0, 26, 58, 122, 250, 506, 1018, 2042]  # 6+K = powers of two (tile-aligned)
 
@@ -50,13 +55,13 @@ def _k_limit(n_pixels):
 #: P, K) combination admits exactly TWO shapes (B=1 for single-problem
 #: rounds, B=cap otherwise) instead of a ladder of batch sizes. On CPU
 #: (tests), padded batch compute is paid for real, so the caps stay small.
-B_CAP_TPU = {2048: 64, 8192: 64, 32768: 16, 131072: 8, 524288: 2, 2097152: 1}
-B_CAP_CPU = {2048: 8, 8192: 8, 32768: 4, 131072: 2, 524288: 1, 2097152: 1}
+B_CAP_TPU = {2048: 64, 8192: 64, 16384: 32, 32768: 16, 131072: 8, 524288: 2, 2097152: 1}
+B_CAP_CPU = {2048: 8, 8192: 8, 16384: 6, 32768: 4, 131072: 2, 524288: 1, 2097152: 1}
 #: 6-parameter (deformation-free) programs are dispatch-bound, not
 #: compute-bound: their caps are larger so a c2f round (including the
 #: speculative split-tree solves) fits in one call.
-B_CAP_POLY_TPU = {2048: 64, 8192: 64, 32768: 64, 131072: 8, 524288: 2,
-                  2097152: 1}
+B_CAP_POLY_TPU = {2048: 64, 8192: 64, 16384: 64, 32768: 64, 131072: 8,
+                  524288: 2, 2097152: 1}
 
 
 def _on_cpu():
