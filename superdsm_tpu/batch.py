@@ -379,21 +379,32 @@ class Task:
                    if not self.shard_result_path(i, count).exists()
                    or self.is_pending_shard(i, count)]
         if missing and not self.is_pending:
-            # The digest is current, so a previous merge completed but
-            # crashed partway through deleting the sidecars: the survivors
-            # are consumed leftovers, not fresh shard results. Clean them up
-            # and skip instead of wedging on "shards not ready".
-            for i in sidecars:
+            # The task digest is current (a previous merge completed), yet
+            # some sidecars exist and some don't. Two legitimate causes, and
+            # one resolution handles both: merge the sidecars whose shard
+            # digest is CURRENT over the existing data.dill.gz (a leftover
+            # from a merge that crashed mid-cleanup re-merges idempotently;
+            # a shard the user re-ran with --force after the merge gets
+            # incorporated instead of silently discarded), and drop sidecars
+            # with a missing/stale shard digest (partial writes).
+            merge_ids = [i for i in sidecars if not self.is_pending_shard(i, count)]
+            stale = [i for i in sidecars if i not in merge_ids]
+            for i in stale:
                 self.shard_result_path(i, count).unlink(missing_ok=True)
                 self.shard_digest_path(i, count).unlink(missing_ok=True)
                 self.shard_timings_path(i, count).unlink(missing_ok=True)
-            out.write(f'Skipping merge (already merged; removed '
-                      f'{len(sidecars)} leftover sidecar(s)): '
-                      f'{self._fmt_path(self.path)}')
-            return None
-        if missing:
+            if not merge_ids:
+                out.write(f'Skipping merge (already merged; removed '
+                          f'{len(stale)} stale sidecar(s)): '
+                          f'{self._fmt_path(self.path)}')
+                return None
+            out.write(f'Re-merging {len(merge_ids)} shard sidecar(s) over the '
+                      f'existing result: {self._fmt_path(self.path)}')
+        elif missing:
             raise RuntimeError(f'{self._fmt_path(self.path)}: shards not ready '
                                f'(missing or stale: {missing} of {count})')
+        else:
+            merge_ids = list(range(count))
         # start from the existing task result (if any): shards that skipped
         # writing (e.g. pickup at/after postprocess) contribute empty
         # sidecars, and the unsharded path preserves the old data.dill.gz in
@@ -402,7 +413,7 @@ class Task:
         if self.result_path.exists():
             with gzip.open(self.result_path, 'rb') as fin:
                 data = dill.load(fin)
-        for i in range(count):
+        for i in merge_ids:
             with gzip.open(self.shard_result_path(i, count), 'rb') as fin:
                 data.update({k: v for k, v in dill.load(fin).items()
                              if v is not None})
@@ -430,11 +441,38 @@ class Task:
             performance)
         _write_env_report(self.env_path)
         self.digest_path.write_text(self.config_digest)
-        for i in range(count):
+        # fold per-shard error sidecars into errors.csv: a merged shard's
+        # rows replace any previous rows for its file stripe
+        error_rows = {}
+        main_errors_path = self.path / 'errors.csv'
+        if main_errors_path.exists():
+            with main_errors_path.open('r', newline='') as fin:
+                rows = list(csv.reader(fin))[1:]
+            error_rows = {row[0]: row[1] for row in rows if len(row) == 2}
+        for i in merge_ids:
+            stripe = {str(fid) for fid in self.file_ids[i::count]}
+            error_rows = {fid: e for fid, e in error_rows.items()
+                          if fid not in stripe}
+            sidecar = self.path / f'errors.{_shard_tag(i, count)}.csv'
+            if sidecar.exists():
+                with sidecar.open('r', newline='') as fin:
+                    rows = list(csv.reader(fin))[1:]
+                error_rows.update({row[0]: row[1] for row in rows
+                                   if len(row) == 2})
+                sidecar.unlink()
+        if error_rows:
+            with main_errors_path.open('w', newline='') as fout:
+                writer = csv.writer(fout)
+                writer.writerow(['file_id', 'error'])
+                writer.writerows(sorted(error_rows.items()))
+        else:
+            main_errors_path.unlink(missing_ok=True)
+        for i in merge_ids:
             self.shard_result_path(i, count).unlink()
             self.shard_digest_path(i, count).unlink()
             self.shard_timings_path(i, count).unlink(missing_ok=True)
-        out.write(f'Merged {count} shard(s): {self._fmt_path(self.result_path)}')
+        out.write(f'Merged {len(merge_ids)} shard(s): '
+                  f'{self._fmt_path(self.result_path)}')
         return data
 
     def run(self, task_info=None, dry=False, verbosity=0, force=False, one_shot=False,
@@ -570,14 +608,22 @@ class Task:
                         _compress_logs(kwargs['log_filepath'])
                     _finish_file(file_id, result, _timings)
             performance = nonlocal_performance[0]
-            if file_errors and not dry:
-                with (self.path / 'errors.csv').open('w', newline='') as fout:
-                    writer = csv.writer(fout)
-                    writer.writerow(['file_id', 'error'])
-                    writer.writerows(file_errors)
-                out2.write(Text.style(
-                    f'{len(file_errors)} file(s) skipped with errors '
-                    f'(see errors.csv)', Text.RED))
+            if not dry:
+                # per-shard error sidecars avoid clobbering across hosts;
+                # a clean re-run removes a stale errors file
+                errors_path = self.path / (
+                    'errors.csv' if shard is None
+                    else f'errors.{_shard_tag(*shard)}.csv')
+                if file_errors:
+                    with errors_path.open('w', newline='') as fout:
+                        writer = csv.writer(fout)
+                        writer.writerow(['file_id', 'error'])
+                        writer.writerows(file_errors)
+                    out2.write(Text.style(
+                        f'{len(file_errors)} file(s) skipped with errors '
+                        f'(see {errors_path.name})', Text.RED))
+                else:
+                    errors_path.unlink(missing_ok=True)
             out2.write('')
             if report is not None:
                 report.update(self, 'active')

@@ -344,7 +344,7 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
 
 def _drive_cluster_workers(workers, clusters_by_label, img_shape, out,
                            status_line='Analyzing clusters',
-                           newton_maxiter=None):
+                           newton_maxiter=None, timeout=None):
     """Advances all cluster workers in lockstep, batch-solving the pending
     normalized-energy requests of every active cluster each round."""
     from .dsm.solver import DEFAULT_MAXITER
@@ -371,8 +371,8 @@ def _drive_cluster_workers(workers, clusters_by_label, img_shape, out,
         out.intermediate(f'{status_line}... round {round_no}: '
                          f'{len(problems)} solves, {len(results)} / '
                          f'{len(results) + len(waiting)} clusters done')
-        solved = solve_problems(problems, out=None, fetch='energy',
-                                maxiter=newton_maxiter)
+        solved = solve_problems(problems, out=out, fetch='energy',
+                                maxiter=newton_maxiter, timeout=timeout)
         energies_by_label = {}
         for res in solved:
             label, idx = res.tag
@@ -465,8 +465,12 @@ class C2F_RegionAnalysis(Stage):
                 min_norm_energy_improvement, background_margin, seed_connectivity,
                 speculate=speculate, stats=spec_stats)
 
-        results = _drive_cluster_workers(workers, clusters_by_label, y.model.shape, out,
-                                         newton_maxiter=newton_maxiter)
+        from .dsm.batching import _on_cpu
+        results = _drive_cluster_workers(
+            workers, clusters_by_label, y.model.shape, out,
+            newton_maxiter=newton_maxiter,
+            # wedged-tunnel guard, accelerator backends only (see objects.py)
+            timeout=None if _on_cpu() else dsm_cfg.get('cp_timeout', 300))
 
         max_normalized_energy = -np.inf
         for cluster_label in cluster_labels:

@@ -56,7 +56,7 @@ def _k_limit(n_pixels):
 #: rounds, B=cap otherwise) instead of a ladder of batch sizes. On CPU
 #: (tests), padded batch compute is paid for real, so the caps stay small.
 B_CAP_TPU = {2048: 64, 8192: 64, 16384: 32, 32768: 16, 131072: 8, 524288: 2, 2097152: 1}
-B_CAP_CPU = {2048: 8, 8192: 8, 16384: 6, 32768: 4, 131072: 2, 524288: 1, 2097152: 1}
+B_CAP_CPU = {2048: 8, 8192: 8, 16384: 4, 32768: 4, 131072: 2, 524288: 1, 2097152: 1}
 #: 6-parameter (deformation-free) programs are dispatch-bound, not
 #: compute-bound: their caps are larger so a c2f round (including the
 #: speculative split-tree solves) fits in one call.
@@ -431,7 +431,9 @@ def _fetch_with_deadline(sel, timeout):
     fetch runs on a daemon thread so an expired deadline abandons it — if the
     tunnel later recovers, the orphaned result is dropped."""
     import jax
-    if timeout is None:
+    # reference semantics: cp_timeout <= 0 means DISABLED (the reference only
+    # arms SIGALRM for timeout > 0, /root/reference/superdsm/dsm.py:484)
+    if timeout is None or timeout <= 0:
         return jax.device_get(sel)
     box = {}
 
@@ -484,6 +486,20 @@ def _host_energy_fg(p, params, alpha, epsilon, smooth_amount, cutoff):
     return data + max(reg, 0.0), s > 0
 
 
+def _host_lsq_init(p, margin=2.0, ridge=1e-6):
+    """Numpy mirror of ``solver._lsq_init`` for one problem: ridge regression
+    of the polynomial surface onto ``margin * sign(y)``."""
+    coords = p.norm_coords().astype(np.float64)
+    x1, x2 = coords[:, 0], coords[:, 1]
+    Q = np.stack([x1 * x1, x2 * x2, 2 * x1 * x2, 2 * x1, 2 * x2,
+                  np.ones_like(x1)], axis=-1)
+    z = margin * np.sign(p.yv.astype(np.float64))
+    A = Q.T @ Q
+    A = A + ridge * np.trace(A) * np.eye(6)
+    theta = np.linalg.solve(A, Q.T @ z)
+    return np.where(np.isfinite(theta), theta, 0.0).astype(np.float32)
+
+
 def _fallback_results_after_timeout(problems, oversized, alpha, epsilon,
                                     smooth_amount, cutoff, fetch):
     """Builds 'fallback' :class:`ProblemResult` rows from the initializations
@@ -497,7 +513,12 @@ def _fallback_results_after_timeout(problems, oversized, alpha, epsilon,
         eval_p = orig if fetch != 'energy' else p
         params = p.init_params
         if params is None:
+            # cold problems (first generation, c2f) have no warm start — the
+            # device program would have started from the closed-form LSQ
+            # ellipse (solver._lsq_init); zeros would mean an empty
+            # foreground, collapsing quality instead of degrading it
             params = np.zeros(6 + p.n_deform, np.float32)
+            params[:6] = _host_lsq_init(p)
         energy, fg = _host_energy_fg(eval_p, params, alpha, epsilon,
                                      smooth_amount, cutoff)
         if i in oversized and fetch == 'energy':

@@ -261,14 +261,29 @@ def test_shard_run_and_merge(shard_root, capsys):
     assert (shard_root / 'data.shard-0-of-2.dill.gz').read_bytes() == b'sentinel'
 
     # a merge that crashed partway through deleting the sidecars leaves some
-    # present and some gone while the digest is already current; a re-run
-    # must treat the survivors as consumed leftovers — clean up and skip,
-    # not raise 'shards not ready' (ADVICE r2)
+    # present and some gone while the digest is already current; the
+    # sentinel has no current shard digest, so a re-run must treat it as a
+    # stale partial write — clean up and skip, not raise 'shards not ready'
+    # (ADVICE r2)
     run_cli([str(shard_root), '--run', '--no-fork', '--merge-shards', '2'])
     out = capsys.readouterr().out
-    assert 'already merged' in out and 'leftover' in out
+    assert 'already merged' in out and 'stale' in out
     assert not (shard_root / 'data.shard-0-of-2.dill.gz').exists()
     assert (shard_root / 'data.dill.gz').exists()
+
+    # a shard re-run with --force AFTER the merge leaves a sidecar whose
+    # shard digest IS current; a merge re-run must re-merge it over the
+    # existing result instead of discarding it
+    run_cli([str(shard_root), '--run', '--no-fork', '--force',
+             '--shard', '0/2'])
+    assert (shard_root / 'data.shard-0-of-2.dill.gz').exists()
+    run_cli([str(shard_root), '--run', '--no-fork', '--merge-shards', '2'])
+    out = capsys.readouterr().out
+    assert 'Re-merging 1 shard sidecar(s)' in out
+    assert not (shard_root / 'data.shard-0-of-2.dill.gz').exists()
+    with gzip.open(shard_root / 'data.dill.gz', 'rb') as fin:
+        data = dill.load(fin)
+    assert sorted(data.keys()) == [0, 1, 2]
 
 
 def test_export_cli_pipeline_modes(tmp_path):
