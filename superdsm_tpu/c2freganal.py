@@ -18,6 +18,7 @@ import hashlib
 import math
 import os as _os
 import queue
+import threading
 
 import numpy as np
 import scipy.ndimage as ndi
@@ -100,6 +101,8 @@ class SpecStats:
     per-image hit rate)."""
 
     def __init__(self):
+        # cluster workers advance on concurrent threads (_advance_workers)
+        self.lock = threading.Lock()
         self.issued = 0
         self.hits = 0
         self.spec_keys = set()
@@ -142,11 +145,14 @@ def _norm_energies(cache, masked_cluster, bg_edt, objs, atoms_map, background_ma
             else:
                 pending.append((key, cp_mask))
                 if speculative and stats is not None:
-                    stats.issued += 1
-                    stats.spec_keys.add(key)
-        if not speculative and stats is not None and key in stats.spec_keys:
-            stats.spec_keys.discard(key)  # count each speculative solve once
-            stats.hits += 1
+                    with stats.lock:
+                        stats.issued += 1
+                        stats.spec_keys.add(key)
+        if not speculative and stats is not None:
+            with stats.lock:
+                if key in stats.spec_keys:
+                    stats.spec_keys.discard(key)  # count each speculative solve once
+                    stats.hits += 1
         return key
 
     keys = [classify(obj.get_mask(atoms_map)) for obj in objs]
@@ -342,49 +348,75 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
     return root_candidate, leaf_candidates, atoms_map, max_normalized_energy
 
 
+def _advance_workers(pool, workers, payloads, results, waiting):
+    """Advances the given workers concurrently (one thread per generator —
+    generators are independent per cluster, and the host work between yields
+    is scipy EDT / watershed / maximum-filter, which release the GIL).
+    Fills ``waiting`` with new yield values and ``results`` with returns."""
+    def advance(item):
+        label, payload = item
+        gen = workers[label]
+        try:
+            value = next(gen) if payload is _FIRST else gen.send(payload)
+            return label, value, None, False
+        except StopIteration as stop:
+            return label, None, stop.value, True
+    items = sorted(payloads.items())
+    outcomes = pool.map(advance, items) if pool is not None and len(items) > 1 \
+        else map(advance, items)
+    for label, value, result, done in outcomes:
+        if done:
+            results[label] = result
+        else:
+            waiting[label] = value
+
+
+_FIRST = object()  # sentinel payload: advance with next() instead of send()
+
+
 def _drive_cluster_workers(workers, clusters_by_label, img_shape, out,
                            status_line='Analyzing clusters',
                            newton_maxiter=None, timeout=None):
     """Advances all cluster workers in lockstep, batch-solving the pending
     normalized-energy requests of every active cluster each round."""
+    from concurrent.futures import ThreadPoolExecutor
     from .dsm.solver import DEFAULT_MAXITER
     if newton_maxiter is None:
         newton_maxiter = DEFAULT_MAXITER
     results = {}
     waiting = {}
-    for label, gen in workers.items():
-        try:
-            waiting[label] = next(gen)
-        except StopIteration as stop:
-            results[label] = stop.value
-    round_no = 0
-    while waiting:
-        round_no += 1
-        problems = []
-        for label, (kind, cp_masks) in sorted(waiting.items()):
-            assert kind == 'solve'
-            cluster = clusters_by_label[label]
-            for idx, cp_mask in enumerate(cp_masks):
-                region = Image(model=cluster.model, mask=cp_mask, offset=cluster.offset)
-                problems.append(make_problem(region, img_shape=img_shape,
-                                             smooth_amount=np.inf, tag=(label, idx)))
-        out.intermediate(f'{status_line}... round {round_no}: '
-                         f'{len(problems)} solves, {len(results)} / '
-                         f'{len(results) + len(waiting)} clusters done')
-        solved = solve_problems(problems, out=out, fetch='energy',
-                                maxiter=newton_maxiter, timeout=timeout)
-        energies_by_label = {}
-        for res in solved:
-            label, idx = res.tag
-            energies_by_label.setdefault(label, {})[idx] = res.energy
-        new_waiting = {}
-        for label, (kind, cp_masks) in list(waiting.items()):
-            energies = [energies_by_label[label][idx] for idx in range(len(cp_masks))]
-            try:
-                new_waiting[label] = workers[label].send(energies)
-            except StopIteration as stop:
-                results[label] = stop.value
-        waiting = new_waiting
+    pool = ThreadPoolExecutor(max_workers=8) if len(workers) > 1 else None
+    try:
+        _advance_workers(pool, workers, {label: _FIRST for label in workers},
+                         results, waiting)
+        round_no = 0
+        while waiting:
+            round_no += 1
+            problems = []
+            for label, (kind, cp_masks) in sorted(waiting.items()):
+                assert kind == 'solve'
+                cluster = clusters_by_label[label]
+                for idx, cp_mask in enumerate(cp_masks):
+                    region = Image(model=cluster.model, mask=cp_mask, offset=cluster.offset)
+                    problems.append(make_problem(region, img_shape=img_shape,
+                                                 smooth_amount=np.inf, tag=(label, idx)))
+            out.intermediate(f'{status_line}... round {round_no}: '
+                             f'{len(problems)} solves, {len(results)} / '
+                             f'{len(results) + len(waiting)} clusters done')
+            solved = solve_problems(problems, out=out, fetch='energy',
+                                    maxiter=newton_maxiter, timeout=timeout)
+            energies_by_label = {}
+            for res in solved:
+                label, idx = res.tag
+                energies_by_label.setdefault(label, {})[idx] = res.energy
+            payloads = {
+                label: [energies_by_label[label][idx] for idx in range(len(cp_masks))]
+                for label, (kind, cp_masks) in waiting.items()}
+            waiting = {}
+            _advance_workers(pool, workers, payloads, results, waiting)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
     return results
 
 
