@@ -514,10 +514,12 @@ class C2F_RegionAnalysis(Stage):
             for atom_candidate in cluster_atoms:
                 label = cluster_label_offset + next(iter(atom_candidate.footprint))
                 atom_candidate_by_label[label] = atom_candidate
-                if atom_candidate.seed is not None:
-                    seed = np.round(ndi.center_of_mass(atom_candidate.seed)).astype(int)
-                else:
-                    seed = np.array(ndi.center_of_mass(cluster.mask)).round().astype(int)
+                # centroid of a bool mask = mean of its True coordinates
+                # (identical to ndi.center_of_mass, which profiled 0.13 s
+                # per call via scipy's labeled-stats machinery)
+                mask = atom_candidate.seed if atom_candidate.seed is not None \
+                    else cluster.mask
+                seed = np.array([c.mean() for c in np.nonzero(mask)]).round().astype(int)
                 atom_candidate.seed = seed + cluster.offset
 
         atoms_map, label_translation = _normalize_labels_map(atoms_map, first_label=1, skip_labels=[0])
