@@ -129,6 +129,9 @@ class Postprocessing(Stage):
             'g_std': float(g_raw.std()),
         }
 
+        # note: threading this loop was measured (2026-08-17) and does NOT
+        # help — the per-object measurements are dominated by small-array
+        # Python/numpy ops that hold the GIL
         postprocessed_objects = []
         log_entries = []
         for obj_idx, original in enumerate(objects):
