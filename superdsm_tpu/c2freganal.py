@@ -457,6 +457,10 @@ class C2F_RegionAnalysis(Stage):
         dsm_cfg = copy_dict(input_data['dsm_cfg'])
         background_margin = dsm_cfg.get('background_margin', 20)
 
+        import time as _time
+        _phase_t = [_time.time()]          # telemetry phase boundaries
+        _phase = lambda: _phase_t.append(_time.time())
+
         out.intermediate('Analyzing cluster markers...')
         y = Image.create_from_array(input_data['y'], normalize=False)
         fg_mask = (y.model > 0)
@@ -483,6 +487,7 @@ class C2F_RegionAnalysis(Stage):
         atoms_map = np.full(y.model.shape, 0)
         atom_candidate_by_label = {}
 
+        _phase()  # markers: fg labeling + irregularity + cluster watershed
         cluster_labels = [int(l) for l in np.flatnonzero(
             np.bincount(clusters.reshape(-1), minlength=1)) if l != 0]
         workers = {}
@@ -497,12 +502,14 @@ class C2F_RegionAnalysis(Stage):
                 min_norm_energy_improvement, background_margin, seed_connectivity,
                 speculate=speculate, stats=spec_stats)
 
+        _phase()  # workers_init: per-cluster region crops + generator setup
         from .dsm.batching import _on_cpu
         results = _drive_cluster_workers(
             workers, clusters_by_label, y.model.shape, out,
             newton_maxiter=newton_maxiter,
             # wedged-tunnel guard, accelerator backends only (see objects.py)
             timeout=None if _on_cpu() else dsm_cfg.get('cp_timeout', 300))
+        _phase()  # drive: lockstep worker rounds incl. device solves
 
         max_normalized_energy = -np.inf
         for cluster_label in cluster_labels:
@@ -526,13 +533,19 @@ class C2F_RegionAnalysis(Stage):
         for old_label, atom_candidate in dict(atom_candidate_by_label).items():
             atom_candidate_by_label[label_translation[old_label]] = atom_candidate
         out.write(f'Extracted {atoms_map.max()} atoms (max energy rate: {max_normalized_energy:g})')
-        if _os.environ.get('SDSM_SOLVE_TELEMETRY') == '1':
-            import sys as _sys
-            print(f'[c2f] {spec_stats.line()}', file=_sys.stderr, flush=True)
+        _phase()  # finalize: atoms_map assembly + seeds + renumbering
 
         atom_nodes = [atom_candidate_by_label[atom_label].seed
                       for atom_label in sorted(label_translation.values())]
         adjacencies = AtomAdjacencyGraph(atoms_map, clusters, fg_mask, atom_nodes, out)
+        _phase()  # adjacency
+        if _os.environ.get('SDSM_SOLVE_TELEMETRY') == '1':
+            import sys as _sys
+            names = ('markers', 'workers_init', 'drive', 'finalize', 'adjacency')
+            split = ' '.join(f'{n}={b - a:.3f}' for n, a, b in
+                             zip(names, _phase_t, _phase_t[1:]))
+            print(f'[c2f] {spec_stats.line()} | {split}',
+                  file=_sys.stderr, flush=True)
 
         return {
             'y_mask': y_mask,

@@ -212,15 +212,38 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
         mask_crop = np.isin(atoms[sel], labels) & adm[sel]
         return _Image(model=y.model[sel], mask=mask_crop, offset=(r0, c0))
 
-    problems = []
-    problem_obj_idx = []
-    trivial = []
-    for idx, obj in enumerate(objects):
+    def _build_problem(idx, obj):
         region = _candidate_region(obj)
         if region is None or not region.mask.any() \
                 or (region.model[region.mask] > 0).sum() == 1:
             # single-pixel foreground is just noise
             # (/root/reference/superdsm/objects.py:184-191)
+            return None
+        problem = make_problem(
+            region, img_shape=y.model.shape,
+            smooth_amount=smooth_amount,
+            gaussian_shape_multiplier=dsm_cfg.get('gaussian_shape_multiplier', 2),
+            smooth_subsample=dsm_cfg.get('smooth_subsample', 20), tag=idx)
+        problem.init_params = _warm_start_params(obj, problem)
+        return problem
+
+    # problem construction is independent per object over shared read-only
+    # arrays, and its hot parts (argwhere/isin, the native subsample grid)
+    # release the GIL — threading cuts the pack phase ~2-3x (telemetry:
+    # pack= in [compute_objects])
+    if len(objects) > 3:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            built = list(pool.map(lambda io: _build_problem(*io),
+                                  enumerate(objects)))
+    else:
+        built = [_build_problem(idx, obj) for idx, obj in enumerate(objects)]
+
+    problems = []
+    problem_obj_idx = []
+    trivial = []
+    for idx, (obj, problem) in enumerate(zip(objects, built)):
+        if problem is None:
             trivial.append(idx)
             obj.fg_offset = np.zeros(2, int)
             obj.fg_fragment = np.zeros((1, 1), bool)
@@ -229,15 +252,10 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
             obj.is_optimal = False
             obj.processing_time = 0
             continue
-        problem = make_problem(
-            region, img_shape=y.model.shape,
-            smooth_amount=smooth_amount,
-            gaussian_shape_multiplier=dsm_cfg.get('gaussian_shape_multiplier', 2),
-            smooth_subsample=dsm_cfg.get('smooth_subsample', 20), tag=idx)
-        problem.init_params = _warm_start_params(obj, problem)
         problems.append(problem)
         problem_obj_idx.append(idx)
 
+    _t_packed = time.time()
     results = solve_problems(
         problems,
         alpha=dsm_cfg.get('alpha', 0.5), epsilon=dsm_cfg.get('epsilon', 1.0),
@@ -255,6 +273,7 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
         timeout=None if _on_cpu() else dsm_cfg.get('cp_timeout', 300))
 
     dt = time.time() - t0
+    _t_solved = time.time()
     fallbacks = 0
     per_obj_time = dt / max(1, len(problems))
     for prob, res in zip(problems, results):
@@ -283,6 +302,13 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
             if prob.n_deform else np.zeros((0, 2), np.int32)
         if res.status == 'fallback':
             fallbacks += 1
+
+    import os
+    if os.environ.get('SDSM_SOLVE_TELEMETRY') == '1':
+        print(f'[compute_objects] n={len(objects)} problems={len(problems)} '
+              f'pack={_t_packed - t0:.3f}s solve={_t_solved - _t_packed:.3f}s '
+              f'unpack={time.time() - _t_solved:.3f}s',
+              file=sys.stderr, flush=True)
 
     # per-object debug dump: SDSM_DEBUG_FOOTPRINT="3" (or "2,7") re-solves
     # the object with that exact footprint recording the energy after every

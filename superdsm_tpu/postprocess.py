@@ -14,8 +14,11 @@ TPU-design differences from the reference:
   ``exterior_offset + 5 * exterior_scale`` — the exterior weight is zero
   beyond that distance, so the result is identical and the work is O(object)
   instead of O(image).
-- The two Gaussian-smoothed full images are computed once on the device
-  (:func:`superdsm_tpu.ops.gaussian.gaussian_filter`).
+- The two Gaussian-smoothed full images are computed once on the host in
+  float64 (scipy separable filter, the reference's own semantics,
+  ``postprocess.py:316-337``): at 520x696 the filter costs ~7 ms, while a
+  device round trip through the remote tunnel costs ~100 ms (43 ms RTT +
+  2.9 MB fetch at ~50 MB/s) — and the host path is backend-independent.
 - Eccentricity is computed from central image moments directly
   (scikit-image is not a dependency).
 """
@@ -29,7 +32,6 @@ import scipy.ndimage as ndi
 from .pipeline import Stage
 from ._aux import join_path
 from .objects import BaseObject, extract_foreground_fragment
-from .ops.gaussian import gaussian_filter, gaussian_filter_multi
 from .ops.morphology import disk, binary_dilation, binary_erosion
 
 
@@ -85,8 +87,12 @@ class Postprocessing(Stage):
         min_boundary_glare_radius = cfg.get('min_boundary_glare_radius', min_glare_radius)
 
         g_raw = np.asarray(input_data['g_raw'], np.float64)
-        g_smooth_mask, g_smooth_glare = gaussian_filter_multi(
-            g_raw.astype(np.float32), (mask_smoothness, glare_detection_smoothness))
+        # host float64 smoothing (see module docstring); duplicate sigmas
+        # (the defaults) are filtered once
+        _smooth = {s: ndi.gaussian_filter(g_raw, s, truncate=4.0)
+                   for s in {mask_smoothness, glare_detection_smoothness}}
+        g_smooth_mask = _smooth[mask_smoothness]
+        g_smooth_glare = _smooth[glare_detection_smoothness]
         objects = [obj for obj in input_data['cover'].solution
                    if obj.fg_fragment is not None and obj.fg_fragment.any()]
 
