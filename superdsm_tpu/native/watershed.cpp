@@ -11,26 +11,29 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cmath>
+#include <functional>
 #include <queue>
+#include <utility>
 #include <vector>
 #include <cstring>
 #include <limits>
 
 namespace {
 
-struct QEntry {
-    float value;
-    uint64_t age;
-    int32_t idx;
-};
+// Heap entries are (key, idx) where key packs (value, age) into one uint64
+// for a single branchless comparison: the float bits are mapped to a
+// monotone unsigned order (sign-magnitude -> biased), the 32-bit age
+// tie-breaks pushes in FIFO order. Pushes are bounded by 2*H*W, so a
+// uint32 age cannot wrap for any image smaller than ~65k x 65k.
+inline uint64_t pack_key(float value, uint32_t age) {
+    uint32_t b;
+    std::memcpy(&b, &value, 4);
+    if (b == 0x80000000u) b = 0;  // -0.0 == +0.0 must stay an age-order tie
+    b = (b & 0x80000000u) ? ~b : (b | 0x80000000u);
+    return (static_cast<uint64_t>(b) << 32) | age;
+}
 
-struct QCompare {
-    // std::priority_queue is a max-heap; invert for (value, age) min-ordering.
-    bool operator()(const QEntry& a, const QEntry& b) const {
-        if (a.value != b.value) return a.value > b.value;
-        return a.age > b.age;
-    }
-};
+using QEntry = std::pair<uint64_t, int32_t>;  // (key, idx), min-ordered
 
 }  // namespace
 
@@ -46,28 +49,43 @@ void sdsm_watershed(const float* image, const int32_t* markers,
                     const uint8_t* mask, int32_t H, int32_t W,
                     int32_t conn, int32_t* out) {
     const int64_t n = static_cast<int64_t>(H) * W;
-    std::priority_queue<QEntry, std::vector<QEntry>, QCompare> heap;
-    uint64_t age = 0;
-
-    for (int64_t i = 0; i < n; ++i) {
-        out[i] = markers[i];
-        if (markers[i] > 0 && (!mask || mask[i])) {
-            heap.push({image[i], age++, static_cast<int32_t>(i)});
-        }
-    }
+    std::priority_queue<QEntry, std::vector<QEntry>, std::greater<QEntry>> heap;
+    uint32_t age = 0;
 
     const int dr8[8] = {-1, 1, 0, 0, -1, -1, 1, 1};
     const int dc8[8] = {0, 0, -1, 1, -1, 1, -1, 1};
     const int nn = (conn == 8) ? 8 : 4;
 
     std::vector<uint8_t> queued(n, 0);
-    for (int64_t i = 0; i < n; ++i) queued[i] = (out[i] > 0) ? 1 : 0;
+    for (int64_t i = 0; i < n; ++i) {
+        out[i] = markers[i];
+        queued[i] = (markers[i] > 0) ? 1 : 0;
+    }
+
+    // Seed the heap with BOUNDARY marker pixels only: an interior marker
+    // pixel (every in-bounds floodable neighbor already labeled) pops
+    // without labeling anything, so skipping it preserves the output
+    // exactly (relative push order among the remaining pixels is
+    // unchanged) while shrinking the initial heap by the marker interiors.
+    for (int64_t i = 0; i < n; ++i) {
+        if (markers[i] <= 0 || (mask && !mask[i])) continue;
+        const int32_t r = static_cast<int32_t>(i / W), c = static_cast<int32_t>(i % W);
+        bool useful = false;
+        for (int k = 0; k < nn; ++k) {
+            const int32_t rr = r + dr8[k], cc = c + dc8[k];
+            if (rr < 0 || rr >= H || cc < 0 || cc >= W) continue;
+            const int64_t j = static_cast<int64_t>(rr) * W + cc;
+            if (!queued[j] && (!mask || mask[j])) { useful = true; break; }
+        }
+        if (useful) heap.push({pack_key(image[i], age), static_cast<int32_t>(i)});
+        ++age;  // keep age assignment identical to the all-markers scan
+    }
 
     while (!heap.empty()) {
         QEntry e = heap.top();
         heap.pop();
-        const int32_t r = e.idx / W, c = e.idx % W;
-        const int32_t label = out[e.idx];
+        const int32_t r = e.second / W, c = e.second % W;
+        const int32_t label = out[e.second];
         for (int k = 0; k < nn; ++k) {
             const int32_t rr = r + dr8[k], cc = c + dc8[k];
             if (rr < 0 || rr >= H || cc < 0 || cc >= W) continue;
@@ -76,7 +94,7 @@ void sdsm_watershed(const float* image, const int32_t* markers,
             if (mask && !mask[j]) continue;
             out[j] = label;
             queued[j] = 1;
-            heap.push({image[j], age++, static_cast<int32_t>(j)});
+            heap.push({pack_key(image[j], age++), static_cast<int32_t>(j)});
         }
     }
 }
