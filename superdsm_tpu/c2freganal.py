@@ -386,12 +386,18 @@ def _drive_cluster_workers(workers, clusters_by_label, img_shape, out,
     results = {}
     waiting = {}
     pool = ThreadPoolExecutor(max_workers=8) if len(workers) > 1 else None
+    _telemetry = _os.environ.get('SDSM_SOLVE_TELEMETRY') == '1'
+    _marks = []
     try:
+        import time as _time
+        _t = _time.time()
         _advance_workers(pool, workers, {label: _FIRST for label in workers},
                          results, waiting)
+        _marks.append(('advance0', _time.time() - _t))
         round_no = 0
         while waiting:
             round_no += 1
+            _t = _time.time()
             problems = []
             for label, (kind, cp_masks) in sorted(waiting.items()):
                 assert kind == 'solve'
@@ -400,11 +406,15 @@ def _drive_cluster_workers(workers, clusters_by_label, img_shape, out,
                     region = Image(model=cluster.model, mask=cp_mask, offset=cluster.offset)
                     problems.append(make_problem(region, img_shape=img_shape,
                                                  smooth_amount=np.inf, tag=(label, idx)))
+            _marks.append((f'pack{round_no}', _time.time() - _t))
             out.intermediate(f'{status_line}... round {round_no}: '
                              f'{len(problems)} solves, {len(results)} / '
                              f'{len(results) + len(waiting)} clusters done')
+            _t = _time.time()
             solved = solve_problems(problems, out=out, fetch='energy',
                                     maxiter=newton_maxiter, timeout=timeout)
+            _marks.append((f'solve{round_no}', _time.time() - _t))
+            _t = _time.time()
             energies_by_label = {}
             for res in solved:
                 label, idx = res.tag
@@ -414,9 +424,14 @@ def _drive_cluster_workers(workers, clusters_by_label, img_shape, out,
                 for label, (kind, cp_masks) in waiting.items()}
             waiting = {}
             _advance_workers(pool, workers, payloads, results, waiting)
+            _marks.append((f'advance{round_no}', _time.time() - _t))
     finally:
         if pool is not None:
             pool.shutdown(wait=False)
+    if _telemetry:
+        import sys as _sys
+        print('[c2f-drive] ' + ' '.join(f'{k}={v:.3f}' for k, v in _marks),
+              file=_sys.stderr, flush=True)
     return results
 
 

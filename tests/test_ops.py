@@ -70,3 +70,21 @@ def test_morphology_matches_scipy():
         binary_dilation(mask, fp), ndi.binary_dilation(mask, structure=fp.astype(bool)))
     np.testing.assert_array_equal(
         binary_erosion(mask, fp), ndi.binary_erosion(mask, structure=fp.astype(bool)))
+
+
+def test_watershed_native_signed_zero_ties():
+    """-0.0 and +0.0 reliefs must flood as an age-order tie, not as distinct
+    priorities (regression: the packed-heap-key rewrite initially ordered
+    -0.0 strictly before +0.0, flipping plateau labels vs the heapq
+    fallback, whose Python-float compare treats them as equal)."""
+    rng = np.random.RandomState(7)
+    img = np.round(rng.randn(48, 64) * 2).astype(np.float32)  # yields -0.0
+    assert np.any(np.signbit(img) & (img == 0)), 'case must contain -0.0'
+    markers = np.zeros((48, 64), np.int32)
+    for label, (r, c) in enumerate(
+            [(5, 5), (40, 10), (20, 50), (44, 60), (10, 30)], start=1):
+        markers[r, c] = label
+    for conn in (4, 8):
+        a = watershed(img, markers, connectivity=conn)
+        b = _watershed_py(img, markers, None, conn)
+        np.testing.assert_array_equal(a, b)
