@@ -21,7 +21,8 @@ import numpy as np
 #: Set SDSM_SOLVE_TELEMETRY=1 to print per-call dispatch/fetch timings.
 _TELEMETRY = _os.environ.get('SDSM_SOLVE_TELEMETRY') == '1'
 
-from .solver import solve_polynomial_batch, solve_dsm_batch, DEFAULT_MAXITER, DEFAULT_TOL
+from .solver import (solve_polynomial_batch, solve_dsm_batch, unpack_fg,
+                     DEFAULT_MAXITER, DEFAULT_TOL)
 from .smooth import prepare_deformation, smooth_matrix_params
 
 #: Pixel-count buckets (padded shapes compile once each).
@@ -761,7 +762,7 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                 results[i] = ProblemResult(
                     params=params[j], energy=float(f[j]),
                     status='fallback' if bad[j] else 'optimal',
-                    surface=None, fg=fg[j, :p.n_pixels].astype(bool), tag=p.tag)
+                    surface=None, fg=unpack_fg(fg[j], p.n_pixels), tag=p.tag)
         else:
             params, f, bad, fg = outs
             for j, i in enumerate(chunk):
@@ -771,7 +772,7 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                     params=np.concatenate([params[j, :6], params[j, 6:6 + k]]),
                     energy=float(f[j]),
                     status='fallback' if bad[j] else 'optimal',
-                    surface=None, fg=fg[j, :npix].astype(bool), tag=p.tag)
+                    surface=None, fg=unpack_fg(fg[j], npix), tag=p.tag)
 
     if oversized:
         from .solver import evaluate_foreground
