@@ -29,7 +29,8 @@ from .image import Image
 from .objects import Object
 from .atoms import AtomAdjacencyGraph
 from .ops.watershed import watershed
-from .ops.morphology import disk, binary_erosion
+from .ops.edt import edt
+from .ops.morphology import disk, binary_erosion, max_filter3
 from .dsm.batching import make_problem, solve_problems
 
 
@@ -45,8 +46,7 @@ def _get_next_seed(region, where, score_func, connectivity=4):
         raise ValueError(f'unknown connectivity: {connectivity}')
     cache = getattr(region, '_max_locus_cache', None)
     if cache is None or cache[0] != connectivity:
-        footprint = disk(1) if connectivity == 4 else np.ones((3, 3))
-        image_max = ndi.maximum_filter(region.model, footprint=footprint)
+        image_max = max_filter3(region.model, connectivity)
         cache = (connectivity, image_max == region.model)
         region._max_locus_cache = cache
     mask = np.logical_and(region.mask, where)
@@ -201,7 +201,7 @@ def _speculate_children(cluster, masked_cluster, children, seed_distances,
                             lambda loc: sd[loc].max(), seed_connectivity)
         if s2 is None:
             continue
-        sd = np.minimum(sd, ndi.distance_transform_edt(~s2))
+        sd = np.minimum(sd, edt(~s2))
         m1, m2 = _watershed_split(cluster.get_region(mask), seed, s2)
         if m1.sum() < min_atom_size or m2.sum() < min_atom_size:
             continue  # the real loop would retry with another seed; one shot only
@@ -224,7 +224,7 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
     if speculate is None:
         speculate = _SPECULATE
     cache = {}
-    bg_edt = ndi.distance_transform_edt(masked_cluster.model <= 0)
+    bg_edt = edt(masked_cluster.model <= 0)
 
     root_candidate = Object()
     root_candidate.footprint = frozenset([1])
@@ -250,7 +250,7 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
         return run
 
     if root_candidate.seed is not None:
-        seed_distances = ndi.distance_transform_edt(~root_candidate.seed)
+        seed_distances = edt(~root_candidate.seed)
         root_spec = _spec_thunk(
             [(root_candidate.get_mask(atoms_map), root_candidate.seed)],
             seed_distances)
@@ -287,7 +287,7 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
             leaf_candidates.append(c0)
             continue
         assert not np.logical_and(c1.seed, c2.seed).any()
-        seed_distances = np.min([seed_distances, ndi.distance_transform_edt(~c2.seed)], axis=0)
+        seed_distances = np.min([seed_distances, edt(~c2.seed)], axis=0)
 
         new_atom_label = atoms_map.max() + 1
         c1_mask, c2_mask = _watershed_split(cluster.get_region(c0_mask), c1.seed, c2.seed)
@@ -497,7 +497,7 @@ class C2F_RegionAnalysis(Stage):
         cluster_markers = _normalize_labels_map(cluster_markers, first_label=0)[0]
         out.write(f'Extracted {cluster_markers.max()} cluster markers')
 
-        clusters = watershed(ndi.distance_transform_edt(cluster_markers == 0),
+        clusters = watershed(edt(cluster_markers == 0),
                              cluster_markers)
         atoms_map = np.full(y.model.shape, 0)
         atom_candidate_by_label = {}

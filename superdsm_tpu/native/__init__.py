@@ -54,6 +54,14 @@ def get_lib():
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_uint8)]
             lib.sdsm_subsample_grid.restype = ctypes.c_int32
+            lib.sdsm_edt.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_double)]
+            lib.sdsm_edt.restype = None
+            lib.sdsm_maxfilt3.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_double)]
+            lib.sdsm_maxfilt3.restype = None
             _lib = lib
         except Exception:
             _load_failed = True
@@ -91,6 +99,33 @@ def chessboard_edt_native(sources):
     H, W = sources.shape
     out = np.zeros((H, W), dtype=np.int32)
     lib.sdsm_chessboard_edt(_ptr(sources, ctypes.c_uint8), H, W, _ptr(out, ctypes.c_int32))
+    return out
+
+
+def edt_native(mask):
+    """Exact euclidean distance transform (distances of nonzero pixels to
+    the nearest zero pixel); scipy-identical. ``None`` if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    H, W = mask.shape
+    out = np.zeros((H, W), dtype=np.float64)
+    lib.sdsm_edt(_ptr(mask, ctypes.c_uint8), H, W, _ptr(out, ctypes.c_double))
+    return out
+
+
+def maxfilt3_native(img, connectivity=8):
+    """3x3 maximum filter (cross for connectivity 4, full square for 8),
+    reflect borders; scipy-identical. ``None`` if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, dtype=np.float64)
+    H, W = img.shape
+    out = np.empty((H, W), dtype=np.float64)
+    lib.sdsm_maxfilt3(_ptr(img, ctypes.c_double), H, W, int(connectivity),
+                      _ptr(out, ctypes.c_double))
     return out
 
 

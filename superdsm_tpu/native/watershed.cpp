@@ -99,6 +99,115 @@ void sdsm_watershed(const float* image, const int32_t* markers,
     }
 }
 
+// Exact euclidean distance transform (Felzenszwalb-Huttenlocher separable
+// lower-envelope pass over exact integer squared distances). Matches
+// scipy.ndimage.distance_transform_edt bit-for-bit: both compute the exact
+// integer d^2 to the nearest zero pixel and take one correctly-rounded
+// double sqrt. `mask`: uint8, distances are computed for nonzero pixels to
+// the nearest zero pixel (zero pixels get 0).
+void sdsm_edt(const uint8_t* mask, int32_t H, int32_t W, double* out) {
+    const int64_t n = static_cast<int64_t>(H) * W;
+    const int32_t INFD = H + W + 1;   // larger than any in-image distance
+    std::vector<int32_t> g(n);
+    // vertical pass: per column, integer distance to nearest zero in-column
+    for (int32_t c = 0; c < W; ++c) {
+        int32_t d = INFD;
+        for (int32_t r = 0; r < H; ++r) {
+            d = mask[static_cast<int64_t>(r) * W + c] ? std::min(d + 1, INFD) : 0;
+            g[static_cast<int64_t>(r) * W + c] = d;
+        }
+        d = INFD;
+        for (int32_t r = H - 1; r >= 0; --r) {
+            const int64_t i = static_cast<int64_t>(r) * W + c;
+            d = mask[i] ? std::min(d + 1, INFD) : 0;
+            g[i] = std::min(g[i], d);
+        }
+    }
+    // horizontal pass: per row, lower envelope of parabolas q -> (q-c)^2 + g^2
+    std::vector<int64_t> f(W);
+    std::vector<int32_t> v(W);
+    std::vector<double> z(W + 1);
+    for (int32_t r = 0; r < H; ++r) {
+        const int64_t base = static_cast<int64_t>(r) * W;
+        for (int32_t c = 0; c < W; ++c) {
+            const int64_t gv = g[base + c];
+            f[c] = gv * gv;
+        }
+        int32_t k = 0;
+        v[0] = 0;
+        z[0] = -std::numeric_limits<double>::infinity();
+        z[1] = std::numeric_limits<double>::infinity();
+        for (int32_t q = 1; q < W; ++q) {
+            double s;
+            while (true) {
+                const int32_t p = v[k];
+                s = (static_cast<double>(f[q] - f[p]) +
+                     static_cast<double>(q) * q - static_cast<double>(p) * p) /
+                    (2.0 * (q - p));
+                if (s <= z[k] && k > 0) { --k; } else break;
+            }
+            ++k;
+            v[k] = q;
+            z[k] = s;
+            z[k + 1] = std::numeric_limits<double>::infinity();
+        }
+        k = 0;
+        for (int32_t q = 0; q < W; ++q) {
+            while (z[k + 1] < q) ++k;
+            const int64_t dq = q - v[k];
+            out[base + q] = std::sqrt(static_cast<double>(dq * dq + f[v[k]]));
+        }
+    }
+}
+
+// 3x3 maximum filter on doubles: conn=4 uses the cross footprint (disk(1)),
+// conn=8 the full 3x3 (separable row-then-column max). Border handling
+// matches scipy's default 'reflect' mode, which for a radius-1 window is
+// equivalent to skipping out-of-bounds neighbors.
+void sdsm_maxfilt3(const double* img, int32_t H, int32_t W, int32_t conn,
+                   double* out) {
+    if (conn == 8) {
+        std::vector<double> tmp(static_cast<int64_t>(H) * W);
+        for (int32_t r = 0; r < H; ++r) {
+            const double* row = img + static_cast<int64_t>(r) * W;
+            double* trow = tmp.data() + static_cast<int64_t>(r) * W;
+            for (int32_t c = 0; c < W; ++c) {
+                double m = row[c];
+                if (c > 0 && row[c - 1] > m) m = row[c - 1];
+                if (c + 1 < W && row[c + 1] > m) m = row[c + 1];
+                trow[c] = m;
+            }
+        }
+        for (int32_t r = 0; r < H; ++r) {
+            double* orow = out + static_cast<int64_t>(r) * W;
+            const double* t0 = tmp.data() + static_cast<int64_t>(r) * W;
+            const double* tu = (r > 0) ? t0 - W : t0;
+            const double* td = (r + 1 < H) ? t0 + W : t0;
+            for (int32_t c = 0; c < W; ++c) {
+                double m = t0[c];
+                if (tu[c] > m) m = tu[c];
+                if (td[c] > m) m = td[c];
+                orow[c] = m;
+            }
+        }
+    } else {
+        for (int32_t r = 0; r < H; ++r) {
+            const double* row = img + static_cast<int64_t>(r) * W;
+            const double* up = (r > 0) ? row - W : row;
+            const double* dn = (r + 1 < H) ? row + W : row;
+            double* orow = out + static_cast<int64_t>(r) * W;
+            for (int32_t c = 0; c < W; ++c) {
+                double m = row[c];
+                if (c > 0 && row[c - 1] > m) m = row[c - 1];
+                if (c + 1 < W && row[c + 1] > m) m = row[c + 1];
+                if (up[c] > m) m = up[c];
+                if (dn[c] > m) m = dn[c];
+                orow[c] = m;
+            }
+        }
+    }
+}
+
 // Chessboard (Chebyshev) distance to the nearest true pixel of `sources`.
 // Two-pass chamfer; exact for the chessboard metric.
 void sdsm_chessboard_edt(const uint8_t* sources, int32_t H, int32_t W,

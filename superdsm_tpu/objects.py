@@ -95,7 +95,8 @@ def _background_distance(y):
     """
     cache = getattr(y, '_sdsm_bg_edt', None)
     if cache is None:
-        cache = ndi.distance_transform_edt(y.model <= 0)
+        from .ops.edt import edt as _edt
+        cache = _edt(y.model <= 0)
         y._sdsm_bg_edt = cache
     return cache
 

@@ -18,8 +18,20 @@ import jax.numpy as jnp
 
 
 def edt(mask):
-    """Distance of each True pixel to the nearest False pixel (scipy exact)."""
-    return ndi.distance_transform_edt(np.asarray(mask, bool))
+    """Distance of each True pixel to the nearest False pixel.
+
+    Native Felzenszwalb-Huttenlocher pass (scipy-identical: same exact
+    integer squared distances, same double sqrt — parity-tested in
+    ``tests/test_ops.py``), falling back to scipy. The native call releases
+    the GIL, so the threaded c2f cluster workers actually overlap their
+    EDT work."""
+    mask = np.asarray(mask, bool)
+    if mask.ndim == 2 and mask.any() and not mask.all():
+        from ..native import edt_native
+        out = edt_native(mask)
+        if out is not None:
+            return out
+    return ndi.distance_transform_edt(mask)
 
 
 _BIG = 1e12

@@ -46,3 +46,20 @@ def binary_erosion_jax(mask, radius):
     """JAX disk erosion (dual of dilation)."""
     import jax.numpy as jnp
     return ~binary_dilation_jax(~jnp.asarray(mask, bool), radius)
+
+
+def max_filter3(img, connectivity=8):
+    """3x3 maximum filter: the cross footprint (``disk(1)``) for
+    ``connectivity=4``, the full square for 8; reflect borders.
+
+    Native GIL-releasing pass (scipy-identical, parity-tested in
+    ``tests/test_ops.py``) with a scipy fallback — this is the seed-search
+    local-maximum locus of the c2f split loop."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        from ..native import maxfilt3_native
+        out = maxfilt3_native(img, connectivity)
+        if out is not None:
+            return out if out.dtype == img.dtype else out.astype(img.dtype)
+    footprint = disk(1) if connectivity == 4 else np.ones((3, 3), bool)
+    return ndi.maximum_filter(img, footprint=footprint)

@@ -32,6 +32,7 @@ import scipy.ndimage as ndi
 from .pipeline import Stage
 from ._aux import join_path
 from .objects import BaseObject, extract_foreground_fragment
+from .ops.edt import edt
 from .ops.morphology import disk, binary_dilation, binary_erosion
 
 
@@ -244,7 +245,7 @@ def _compute_contrast(obj, g, exterior_scale, exterior_offset, epsilon,
     g_sect = g[sel] / g_std
     mask_sect = _fragment_in_roi(obj, sel)
     interior_mean = g_sect[mask_sect].mean()
-    exterior_distance_map = (ndi.distance_transform_edt(~mask_sect) - exterior_offset)
+    exterior_distance_map = (edt(~mask_sect) - exterior_offset)
     exterior_distance_map = exterior_distance_map.clip(0, np.inf) / exterior_scale
     exterior_mask = np.logical_xor(mask_sect, exterior_distance_map <= 5)
     exterior_mask = np.logical_and(exterior_mask, background_mask[sel])

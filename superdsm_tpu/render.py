@@ -313,7 +313,8 @@ def rasterize_labels(data, objects='postprocessed_objects',
             result[obj] = label
         background = (result == 0).copy()
         result[overlaps] = 0
-        dist = ndi.distance_transform_edt(result == 0)
+        from .ops.edt import edt as _edt
+        dist = _edt(result == 0)
         result = watershed(dist, result.astype(np.int32),
                            mask=np.logical_not(background)).astype('uint16')
 

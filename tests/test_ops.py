@@ -88,3 +88,25 @@ def test_watershed_native_signed_zero_ties():
         a = watershed(img, markers, connectivity=conn)
         b = _watershed_py(img, markers, None, conn)
         np.testing.assert_array_equal(a, b)
+
+
+def test_native_edt_matches_scipy_exactly():
+    from superdsm_tpu.ops.edt import edt as edt_op
+    rng = np.random.RandomState(11)
+    cases = [rng.rand(37, 61) < p for p in (0.1, 0.5, 0.9)]
+    cases += [np.zeros((20, 30), bool), np.ones((20, 30), bool)]
+    m = np.ones((25, 25), bool); m[12, 12] = False; cases.append(m)
+    for m in cases:
+        np.testing.assert_array_equal(edt_op(m), ndi.distance_transform_edt(m))
+
+
+def test_native_max_filter3_matches_scipy_exactly():
+    from superdsm_tpu.ops.morphology import max_filter3, disk
+    rng = np.random.RandomState(12)
+    for dtype in (np.float64, np.float32):
+        img = rng.randn(41, 53).astype(dtype)
+        a4 = ndi.maximum_filter(img, footprint=disk(1))
+        a8 = ndi.maximum_filter(img, footprint=np.ones((3, 3), bool))
+        np.testing.assert_array_equal(max_filter3(img, 4), a4)
+        np.testing.assert_array_equal(max_filter3(img, 8), a8)
+        assert max_filter3(img, 8).dtype == img.dtype
