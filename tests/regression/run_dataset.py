@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Dataset-level regression against the reference's shipped real-data goldens.
+
+The reference pins five public microscopy datasets with per-hostname summary
+CSVs (``/root/reference/tests/regression/expected/{gpuagrohr,wladiwostok}``,
+driver ``/root/reference/tests/regression/batch-validate.py``). Those goldens
+ship *inside* the reference repo, so they are usable truth even on an
+air-gapped machine — the only missing piece is the input images
+(``python examples/load_data.py`` fetches them where egress exists).
+
+This harness:
+
+1. ``--calibrate`` (offline, no images needed): measures how well the
+   reference's own two hostname golden sets agree under our tolerance
+   matcher. Measured 2026-08-17 at (3 px, 10% size)::
+
+       BBBC039          197 imgs  20630 objs  unmatched 0.044%  worst 3/img
+       BBBC039/isbi24   197 imgs  20632 objs  unmatched 0.044%  worst 3/img
+       GOWT1-1/default   31 imgs    788 objs  unmatched 0.000%
+       GOWT1-2/default   20 imgs    585 objs  unmatched 0.000%
+       NIH3T3/default    49 imgs   2347 objs  unmatched 0.152%  worst 3/img
+       U2OS/default      48 imgs   1975 objs  unmatched 0.152%  worst 3/img
+
+   That is the same-code / different-BLAS noise floor. The acceptance bar
+   below is deliberately looser (different implementation, same inputs):
+   per image unmatched <= max(2, 10% of golden objects), and dataset-level
+   total unmatched <= 3% with >= 95% of images passing. BBBC033 (the one
+   real image validated end-to-end, VALIDATION.md) measured 16/16 objects
+   at the calibration tolerance vs a same-input reference run, supporting
+   this margin.
+
+2. Default mode: for every requested dataset whose images are present under
+   ``examples/data/``, runs the batch task tree (which writes
+   ``examples/<taskdir>/seg/*.png`` label maps via ``seg_pathpattern``) and
+   validates the label maps against the golden CSVs of *both* reference
+   hostnames — an image passes if it matches either host's golden within
+   tolerance (the two hosts differ from each other, so demanding one
+   specific host would be stricter than the reference holds itself to).
+
+Usage::
+
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tests/regression/run_dataset.py --calibrate
+    python tests/regression/run_dataset.py [DATASET ...]        # on TPU
+    python tests/regression/run_dataset.py --validate-only      # seg/ already written
+"""
+
+import argparse
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).parents[2]
+sys.path.insert(0, str(REPO))
+
+from tests.regression.validate import (load_csv, match_rows,  # noqa: E402
+                                       summarize_label_map)
+
+REF_EXPECTED = pathlib.Path('/root/reference/tests/regression/expected')
+HOSTS = ('gpuagrohr', 'wladiwostok')
+
+#: taskdirs the reference validates (validate-*.sh), keyed by dataset name.
+TASKDIRS = {
+    'BBBC039': ['BBBC039', 'BBBC039/isbi24'],
+    'GOWT1-1': ['GOWT1-1/default', 'GOWT1-1/default/adapted',
+                'GOWT1-1/default/adapted/isbi24'],
+    'GOWT1-2': ['GOWT1-2/default', 'GOWT1-2/default/adapted',
+                'GOWT1-2/default/adapted/isbi24'],
+    'NIH3T3': ['NIH3T3/default', 'NIH3T3/default/adapted',
+               'NIH3T3/default/adapted/isbi24'],
+    'U2OS': ['U2OS/default', 'U2OS/default/adapted',
+             'U2OS/default/adapted/isbi24'],
+}
+
+CENTER_TOL = 3.0
+SIZE_TOL = 0.1
+PER_IMAGE_FRAC = 0.10    # unmatched <= max(PER_IMAGE_MIN, frac * golden count)
+PER_IMAGE_MIN = 2
+DATASET_TOTAL_FRAC = 0.03
+DATASET_PASS_FRAC = 0.95
+
+
+def calibrate():
+    """Cross-hostname agreement of the reference's own goldens (offline)."""
+    print(f'matcher tolerance: center {CENTER_TOL} px, size {SIZE_TOL:.0%}')
+    for ds, taskdirs in TASKDIRS.items():
+        for taskdir in taskdirs:
+            a_dir, b_dir = (REF_EXPECTED / h / taskdir for h in HOSTS)
+            if not (a_dir.is_dir() and b_dir.is_dir()):
+                continue
+            tot = unmatched = n_img = worst = 0
+            for f in sorted(a_dir.glob('*.csv')):
+                g = b_dir / f.name
+                if not g.exists():
+                    continue
+                _, sp, mi = match_rows(load_csv(f), load_csv(g),
+                                       CENTER_TOL, SIZE_TOL)
+                u = len(sp) + len(mi)
+                tot += len(load_csv(g))
+                unmatched += u
+                worst = max(worst, u)
+                n_img += 1
+            print(f'{taskdir}: {n_img} imgs, {tot} objs, unmatched '
+                  f'{unmatched} ({100 * unmatched / max(1, tot):.3f}%), '
+                  f'worst/image {worst}')
+
+
+def images_present(taskdir):
+    """True if the task's input images exist (checks the first 3 file ids)."""
+    import json
+    spec_path = REPO / 'examples' / taskdir.split('/')[0] / 'task.json'
+    spec = json.loads(spec_path.read_text())
+    pattern = spec['img_pathpattern'] \
+        .replace('{ROOTDIR}', str(REPO / 'examples' / taskdir.split('/')[0])) \
+        .replace('{DIRNAME}', taskdir.split('/')[0])
+    ids = spec['file_ids']
+    return all(pathlib.Path(pattern % fid).exists() for fid in ids[:3]), len(ids)
+
+
+def run_task(taskdir):
+    cmd = [sys.executable, '-m', 'superdsm_tpu.batch', 'examples',
+           '--task-dir', taskdir, '--run']
+    print('+', ' '.join(cmd))
+    subprocess.run(cmd, cwd=str(REPO), check=True)
+
+
+def validate_taskdir(taskdir):
+    """Matches ``examples/<taskdir>/seg/*.png`` against both hosts' goldens.
+
+    :return: list of error strings (empty = pass).
+    """
+    import PIL.Image
+    seg_dir = REPO / 'examples' / taskdir / 'seg'
+    golden_dirs = [REF_EXPECTED / h / taskdir for h in HOSTS]
+    golden_dirs = [d for d in golden_dirs if d.is_dir()]
+    if not golden_dirs:
+        return [f'{taskdir}: no reference goldens']
+    names = sorted(f.name[:-4] for f in golden_dirs[0].glob('*.csv'))
+    errors, tot, tot_unmatched, n_pass = [], 0, 0, 0
+    for name in names:
+        seg_path = seg_dir / name
+        if not seg_path.exists():
+            errors.append(f'{taskdir}/{name}: label map missing')
+            continue
+        actual = summarize_label_map(np.asarray(PIL.Image.open(seg_path)))
+        best = None
+        for gdir in golden_dirs:
+            gfile = gdir / (name + '.csv')
+            if not gfile.exists():
+                continue
+            exp = load_csv(gfile)
+            _, sp, mi = match_rows(actual, exp, CENTER_TOL, SIZE_TOL)
+            u = len(sp) + len(mi)
+            if best is None or u < best[0]:
+                best = (u, len(exp))
+        if best is None:
+            continue
+        u, n_exp = best
+        tot += n_exp
+        tot_unmatched += u
+        if u <= max(PER_IMAGE_MIN, PER_IMAGE_FRAC * n_exp):
+            n_pass += 1
+        else:
+            errors.append(f'{taskdir}/{name}: {u} unmatched of {n_exp}')
+    if tot and tot_unmatched > DATASET_TOTAL_FRAC * tot:
+        errors.append(f'{taskdir}: total unmatched {tot_unmatched}/{tot} '
+                      f'> {DATASET_TOTAL_FRAC:.0%}')
+    if names and n_pass < DATASET_PASS_FRAC * len(names):
+        errors.append(f'{taskdir}: only {n_pass}/{len(names)} images pass '
+                      f'(need {DATASET_PASS_FRAC:.0%})')
+    print(f'{taskdir}: {n_pass}/{len(names)} images pass, '
+          f'{tot_unmatched}/{tot} objects unmatched')
+    return errors
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('datasets', nargs='*', default=[],
+                        help='Dataset names (default: all with images present).')
+    parser.add_argument('--calibrate', action='store_true')
+    parser.add_argument('--validate-only', action='store_true',
+                        help='Skip the batch run; validate existing seg/ dirs.')
+    args = parser.parse_args()
+
+    if args.calibrate:
+        calibrate()
+        return
+
+    datasets = args.datasets or list(TASKDIRS)
+    errors, ran = [], 0
+    for ds in datasets:
+        taskdirs = TASKDIRS.get(ds)
+        if taskdirs is None:
+            sys.exit(f'unknown dataset {ds!r} (choose from {list(TASKDIRS)})')
+        present, n_ids = images_present(taskdirs[0])
+        if not present:
+            print(f'{ds}: images not present under examples/data/ '
+                  f'(python examples/load_data.py {ds}); skipping')
+            continue
+        print(f'{ds}: {n_ids} images present')
+        if not args.validate_only:
+            run_task(ds)  # --task-dir runs the dataset root + all sub-tasks
+        for taskdir in taskdirs:
+            if (REPO / 'examples' / taskdir / 'seg').is_dir():
+                errors += validate_taskdir(taskdir)
+        ran += 1
+    if not ran:
+        print('No dataset images available; nothing validated '
+              '(run --calibrate for the offline matcher check).')
+        return
+    if errors:
+        print('\n'.join(errors))
+        sys.exit(1)
+    print('All dataset regressions passed.')
+
+
+if __name__ == '__main__':
+    main()
