@@ -137,6 +137,175 @@ def _batch_chunk(n):
     return bc
 
 
+#: Banded gram: exploit the spatial support of the deformation basis G.
+#: ``build_smooth_matrix`` zeroes every entry beyond the ``cutoff`` chebyshev
+#: radius, and both the mask pixels (``np.argwhere``) and the subsample grid
+#: points are row-major sorted — so the pixels of one row tile touch a
+#: CONTIGUOUS range of G columns (the sub points within ``cutoff`` image
+#: rows). The dense kernel spends (P, n, n) MXU work per iteration mostly
+#: multiplying exact zeros; the banded kernel computes only the 128-column
+#: blocks that can be nonzero: block 0 (the always-dense Q columns plus the
+#: first G columns) and NBAND consecutive blocks positioned per row tile via
+#: scalar-prefetched block indices. Dropped products are exactly 0.0, so
+#: every computed H entry sums the same nonzero terms as the dense kernel.
+#: Set SDSM_GRAM_BANDED=0 to fall back to the dense kernel.
+BANDED_GRAM = os.environ.get('SDSM_GRAM_BANDED', '1') == '1'
+
+#: Number of movable 128-column band blocks per problem size n = 6 + K.
+#: n = 512 regions are ~230 px wide: a row tile's band spans ~5 subsample
+#: rows x ~22 points (~110 columns), so 2 blocks (256 columns) hold it with
+#: alignment slack; n = 1024 regions are wider (~32 points/row), so 3.
+#: n < 512 gains too little (block 0 already covers half the columns);
+#: n = 2048 output buffers (16 MB) exceed the VMEM budget. Problems whose
+#: band does not fit (checked on device) run the dense kernel via lax.cond.
+_NBAND_BY_N = {512: 2, 1024: 3}
+
+
+def nband_for(n):
+    """Band-block count for problem size ``n`` (0 = banded unsupported)."""
+    if not BANDED_GRAM:
+        return 0
+    return _NBAND_BY_N.get(n, 0)
+
+
+#: Test hook: run pallas_call in interpret mode (CPU emulation).
+_FORCE_INTERPRET = False
+
+
+def _make_banded_kernel(gram_dot, nband, nbg):
+    """Banded gram kernel: grid (B, P//tp); per tile, only ``nband + 1``
+    128-column groups participate (group 0 fixed, the rest at the
+    scalar-prefetched block offset). Outputs are stored in block layout —
+    g (B, nbg, 1, 128), H (B, nbg, nbg, 128, 128) — because Mosaic supports
+    dynamic indices on untiled leading dimensions, not dynamic lane-dim
+    stores; the caller reshapes back to (B, n) / (B, n, n)."""
+    ngroups = nband + 1
+
+    def kernel(cb_ref, aux_ref, *refs):
+        bf_blocks = refs[:ngroups]
+        g_ref, h_ref = refs[ngroups], refs[ngroups + 1]
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        s = aux_ref[0, 0, :]
+        yv = aux_ref[0, 1, :]
+        w = aux_ref[0, 2, :]
+        t = yv * s
+        sig = jax.nn.sigmoid(-t)
+        term1 = -yv * sig * w
+        kappa = w * yv * yv * sig * (1.0 - sig)
+
+        @pl.when(i == 0)
+        def _():
+            g_ref[0] = jnp.zeros_like(g_ref[0])
+            h_ref[0] = jnp.zeros_like(h_ref[0])
+
+        c0 = cb_ref[b, i]
+        bidx = [0] + [c0 + k for k in range(nband)]
+        blocks = [bf_blocks[u][0] for u in range(ngroups)]      # (tp, 128)
+        scaled = [blk * kappa[:, None] for blk in blocks]
+        for u in range(ngroups):
+            gpart = jnp.dot(term1[None, :], blocks[u],
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)  # (1, 128)
+            g_ref[0, bidx[u]] = g_ref[0, bidx[u]] + gpart
+            for v in range(u, ngroups):
+                hpart = gram_dot(scaled[u], blocks[v])           # (128, 128)
+                h_ref[0, bidx[u], bidx[v]] = h_ref[0, bidx[u], bidx[v]] + hpart
+                if v != u:
+                    # H is symmetric up to which operand carries kappa; the
+                    # transpose matches the dense kernel to rounding (the
+                    # backend-noise class pinned by the validation harness)
+                    h_ref[0, bidx[v], bidx[u]] = \
+                        h_ref[0, bidx[v], bidx[u]] + hpart.T
+        return
+
+    return kernel
+
+
+def _banded_grad_hess_call(Bf, aux, cb, nband, kernel):
+    """Dispatches the banded kernel; returns block-layout (g, H)."""
+    B, P, n = Bf.shape
+    nbg = n // 128
+    tp = _tile_rows(P, n)
+    ngroups = nband + 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, P // tp),
+        in_specs=[
+            pl.BlockSpec((1, 3, tp), lambda b, i, cb_ref: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp, 128), lambda b, i, cb_ref: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, tp, 128),
+                         functools.partial(
+                             lambda k, b, i, cb_ref: (b, i, cb_ref[b, i] + k),
+                             k),
+                         memory_space=pltpu.VMEM)
+            for k in range(nband)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, nbg, 1, 128), lambda b, i, cb_ref: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nbg, nbg, 128, 128),
+                         lambda b, i, cb_ref: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    g_blk, h_blk = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nbg, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, nbg, nbg, 128, 128), jnp.float32),
+        ),
+        interpret=_FORCE_INTERPRET,
+    )(cb, aux, *([Bf] * ngroups))
+    g = g_blk.reshape(B, n)
+    H = h_blk.transpose(0, 1, 3, 2, 4).reshape(B, n, n)
+    return g, H
+
+
+def compute_band_blocks(pix_rows, w, sub_rows, kmask, cutoff, n, tp):
+    """Per-(problem, row-tile) band start block index and a global fit flag.
+
+    :param pix_rows: (B, P) crop-local pixel row coordinates (float).
+    :param w: (B, P) pixel weights (0 = padding; padded rows contribute
+        exactly zero to g/H, so they are excluded from the band).
+    :param sub_rows: (B, K) subsample-point row coordinates.
+    :param kmask: (B, K) subsample validity (0 = padding; padded columns of
+        G are zeroed, so they are excluded).
+    :param cutoff: chebyshev support radius of the Gaussian basis.
+    :return: ``(cb (B, T) int32, fits () bool)`` — band block start per tile,
+        and whether EVERY tile's nonzero columns fit in
+        ``[0, 128) U [cb * 128, (cb + nband) * 128)``.
+    """
+    nband = _NBAND_BY_N[n]
+    B, P = pix_rows.shape
+    K = sub_rows.shape[1]
+    T = P // tp
+    rows = pix_rows.reshape(B, T, tp)
+    valid = (w > 0).reshape(B, T, tp)
+    r_lo = jnp.min(jnp.where(valid, rows, jnp.inf), axis=2)      # (B, T)
+    r_hi = jnp.max(jnp.where(valid, rows, -jnp.inf), axis=2)
+    # active column range per tile by INDEX min/max (not counts): correct for
+    # any sub ordering — an unsorted grid simply yields a wide band and
+    # fits=False instead of silently uncovered columns
+    srow = jnp.where(kmask > 0, sub_rows, jnp.inf)               # (B, K)
+    in_band = ((srow[:, None, :] >= r_lo[:, :, None] - cutoff) &
+               (srow[:, None, :] <= r_hi[:, :, None] + cutoff))  # (B, T, K)
+    k_idx = jnp.arange(K, dtype=jnp.int32)
+    band_min = jnp.min(jnp.where(in_band, k_idx[None, None, :], K), axis=2)
+    band_max = jnp.max(jnp.where(in_band, k_idx[None, None, :], -1), axis=2)
+    nbg = n // 128
+    cb = jnp.clip((6 + band_min) // 128, 1, nbg - nband).astype(jnp.int32)
+    # columns below 128 live in fixed group 0; the clamp only ever moves the
+    # window DOWN (covering more), so the single failure mode is a band end
+    # beyond the window
+    fits = jnp.all((6 + band_max) < (cb + nband) * 128)
+    return cb, fits
+
+
 #: Early-iteration hybrid: run the first N Newton iterations with a 1-pass
 #: bf16 gram (6x fewer MXU passes), then switch to the full-precision gram.
 #: MEASURED (round 2): REJECTED as a default — fg IoU dropped to 0.971-0.988
@@ -173,11 +342,12 @@ def _fused_grad_hess_call(Bf, aux, kernel=None):
             jax.ShapeDtypeStruct((B, 1, n), jnp.float32),
             jax.ShapeDtypeStruct((B, n, n), jnp.float32),
         ),
+        interpret=_FORCE_INTERPRET,
     )(aux, Bf)
 
 
 @functools.partial(jax.jit, static_argnames=('cheap',))
-def fused_grad_hess_batched(Bf, s, yv, w, cheap=False):
+def fused_grad_hess_batched(Bf, s, yv, w, cheap=False, cb=None, fits=None):
     """Fused logistic gradient and Gauss-Newton Hessian, batched.
 
     The batch is a grid dimension (NOT vmap: a vmapped pallas_call allocates
@@ -186,21 +356,45 @@ def fused_grad_hess_batched(Bf, s, yv, w, cheap=False):
 
     :param Bf: (B, P, n) feature matrices, n a multiple of 128.
     :param cheap: use the 1-pass bf16 gram (early hybrid iterations).
+    :param cb: optional (B, P // tile) band block starts (see
+        :func:`compute_band_blocks`); with ``fits`` true, the banded kernel
+        computes only the column blocks that can be nonzero.
+    :param fits: traced scalar bool — every tile's band fits its window;
+        otherwise the dense kernel runs (a real lax.cond, one branch
+        executes).
     :return: ``(g (B, n), H (B, n, n))`` float32.
     """
     B, P, n = Bf.shape
     kernel = _grad_hess_kernel_1pass if cheap else None
     aux = jnp.stack([s, yv, w], axis=1).astype(jnp.float32)  # (B, 3, P)
     Bf = Bf.astype(jnp.float32)
+    nband = nband_for(n)
+    use_banded = (cb is not None and fits is not None and nband > 0
+                  and not cheap)
+    if use_banded:
+        banded_kernel = _make_banded_kernel(_gram_dot_full, nband, n // 128)
+
+    def one_chunk(Bf_c, aux_c, cb_c):
+        if not use_banded:
+            g, H = _fused_grad_hess_call(Bf_c, aux_c, kernel)
+            return g[:, 0, :], H
+        return jax.lax.cond(
+            fits,
+            lambda args: _banded_grad_hess_call(args[0], args[1], args[2],
+                                                nband, banded_kernel),
+            lambda args: (lambda g, H: (g[:, 0, :], H))(
+                *_fused_grad_hess_call(args[0], args[1], kernel)),
+            (Bf_c, aux_c, cb_c))
+
     bc = _batch_chunk(n)
     if bc >= B:
-        g, H = _fused_grad_hess_call(Bf, aux, kernel)
-        return g[:, 0, :], H
+        return one_chunk(Bf, aux, cb)
     gs, Hs = [], []
     for start in range(0, B, bc):
         end = min(start + bc, B)
-        g, H = _fused_grad_hess_call(Bf[start:end], aux[start:end], kernel)
-        gs.append(g[:, 0, :])
+        g, H = one_chunk(Bf[start:end], aux[start:end],
+                         None if cb is None else cb[start:end])
+        gs.append(g)
         Hs.append(H)
     return jnp.concatenate(gs, axis=0), jnp.concatenate(Hs, axis=0)
 

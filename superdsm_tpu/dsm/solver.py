@@ -295,22 +295,42 @@ def _better_of(Q, yv, w, theta_a, theta_b):
     return jnp.where((f_of(theta_b) < f_of(theta_a))[:, None], theta_b, theta_a)
 
 
-def _solve_batch_impl(params0, Q, G, yv, w, alpha, epsilon, kmask, maxiter, tol):
-    """Batch Newton driver: while_loop with per-problem freeze."""
+def _solve_batch_impl(params0, Q, G, yv, w, alpha, epsilon, kmask, maxiter, tol,
+                      band_inputs=None):
+    """Batch Newton driver: while_loop with per-problem freeze.
+
+    :param band_inputs: optional ``(pix, sub, cutoff)`` raw coordinates
+        enabling the banded gram kernel (see
+        ``pallas_kernels.compute_band_blocks``); the band layout is fixed
+        across Newton iterations (G never changes), so it is computed once
+        here.
+    """
     B = params0.shape[0]
     Bf = jax.vmap(_features, in_axes=(0, 0 if G is not None else None))(Q, G)
     step = jax.vmap(_newton_step,
                     in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, 0, None))
 
     from .pallas_kernels import (fused_grad_hess_batched, pallas_available,
-                                 HYBRID_ITERS)
+                                 HYBRID_ITERS, nband_for, compute_band_blocks,
+                                 _tile_rows)
     n_total = params0.shape[1]
     use_pallas = (pallas_available() and n_total % 128 == 0
                   and Bf.shape[1] % 256 == 0)
 
+    cb = fits = None
+    if use_pallas and band_inputs is not None and nband_for(n_total) > 0:
+        pix, sub, cutoff = band_inputs
+        tp = _tile_rows(Bf.shape[1], n_total)
+        if Bf.shape[1] % tp == 0:
+            cb, fits = compute_band_blocks(
+                pix[..., 0].astype(jnp.float32), w,
+                sub[..., 0].astype(jnp.float32), kmask,
+                float(cutoff), n_total, tp)
+
     def grad_hess_b(s, cheap=False):
         if use_pallas:
-            return fused_grad_hess_batched(Bf, s, yv, w, cheap=cheap)
+            return fused_grad_hess_batched(Bf, s, yv, w, cheap=cheap,
+                                           cb=cb, fits=fits)
         return jax.vmap(_data_grad_hess)(Bf, s, yv, w)
 
     def cond(state):
@@ -361,7 +381,8 @@ def _solve_full(params0, coords, pix, sub, yv, w, alpha, epsilon, kmask,
     from .smooth import build_smooth_matrix
     Q = _poly_basis(coords)
     G = jax.vmap(lambda p, sb, km: build_smooth_matrix(p, sb, sigma, cutoff, km))(pix, sub, kmask)
-    return _solve_batch_impl(params0, Q, G, yv, w, alpha, epsilon, kmask, maxiter, tol)
+    return _solve_batch_impl(params0, Q, G, yv, w, alpha, epsilon, kmask, maxiter, tol,
+                             band_inputs=(pix, sub, cutoff))
 
 
 @dataclass
@@ -558,7 +579,8 @@ def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_wa
     # by the logistic creep, which resumes at full resolution no matter how
     # good the start is — and the extra phase cost a net ~10%. Reverted.
     params, f, conv, it, s = _solve_batch_impl(params0, Q, G, yv, w, alpha,
-                                               epsilon, kmask, maxiter, tol)
+                                               epsilon, kmask, maxiter, tol,
+                                               band_inputs=(pixf, sub, cutoff))
     # fallback only for non-converged-and-worse or non-finite solves,
     # mirroring the reference's 'unknown'-status gate (objects.py:404)
     bad = ~jnp.isfinite(f) | (~conv & (f > f_init))
