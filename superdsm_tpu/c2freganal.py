@@ -34,14 +34,19 @@ from .ops.morphology import disk, binary_erosion, max_filter3
 from .dsm.batching import make_problem, solve_problems
 
 
-def _get_next_seed(region, where, score_func, connectivity=4):
-    """Connected component of local maxima maximizing ``score_func``
+def _get_next_seed(region, where, score_img, connectivity=4):
+    """Connected component of local maxima maximizing the max of
+    ``score_img`` over the component
     (cf. ``/root/reference/superdsm/c2freganal.py:15-29``).
 
     The local-maximum locus depends only on (region intensities,
     connectivity), while the split loop calls this once per split attempt
     with a different ``where`` — the maximum filter is memoized on the
-    region object (profiled: it dominated the seed-search host time)."""
+    region object (profiled: it dominated the seed-search host time). The
+    per-component scores come from one labeled-max pass (``ndi.maximum``)
+    instead of a Python loop of full-crop comparisons; the float max over
+    identical pixels is order-independent, and ties keep the frozenset
+    iteration order of the original loop, so seed choices are unchanged."""
     if connectivity not in (4, 8):
         raise ValueError(f'unknown connectivity: {connectivity}')
     cache = getattr(region, '_max_locus_cache', None)
@@ -54,7 +59,9 @@ def _get_next_seed(region, where, score_func, connectivity=4):
     if max_mask.any():
         maxima = ndi.label(max_mask)[0]
         maxima_labels = frozenset(maxima.reshape(-1)) - {0}
-        scores = {max_label: score_func(maxima == max_label) for max_label in maxima_labels}
+        labels_arr = list(maxima_labels)
+        scores = dict(zip(labels_arr, np.atleast_1d(
+            ndi.maximum(score_img, labels=maxima, index=labels_arr))))
         label = max(maxima_labels, key=scores.get)
         if scores[label] > -np.inf:
             return (maxima == label)
@@ -170,7 +177,49 @@ def _norm_energies(cache, masked_cluster, bg_edt, objs, atoms_map, background_ma
 _SPECULATE = _os.environ.get('SDSM_C2F_SPECULATE', '1') == '1'
 
 
-def _speculate_children(cluster, masked_cluster, children, seed_distances,
+class _SplitMemo:
+    """Cluster-scoped memo for the pure split-step computations (seed
+    search, seed EDT, watershed split) that the speculation simulation and
+    the real split loop both perform. Speculation hit rates are ~1.0 on the
+    bench fields, i.e. the real loop used to redo nearly every EDT /
+    watershed / labeled-max the simulation had already run. Keys are content
+    hashes of the defining masks (all crop-shaped within one cluster, same
+    scoping argument as the energy cache); seed-distance maps are keyed by
+    their construction token (root seed + sequence of subtracted seeds)
+    instead of hashing the float array. Values are shared arrays — every
+    consumer treats them as read-only."""
+
+    def __init__(self, cluster, masked_cluster):
+        self.cluster = cluster
+        self.masked_cluster = masked_cluster
+        self.d = {}
+
+    def seed(self, mask_key, c0_mask, sd, sd_tok, connectivity):
+        """Next-seed search on ``model > 0 & c0_mask & sd >= 1`` scored by
+        ``sd`` (the split-loop configuration); the ``where`` construction
+        itself is skipped on a hit."""
+        key = ('seed', mask_key, sd_tok, connectivity)
+        if key not in self.d:
+            where = np.all((self.cluster.model > 0, c0_mask, sd >= 1), axis=0)
+            self.d[key] = _get_next_seed(self.masked_cluster, where, sd,
+                                         connectivity)
+        return self.d[key]
+
+    def seed_edt(self, seed, seed_key):
+        key = ('edt', seed_key)
+        if key not in self.d:
+            self.d[key] = edt(~seed)
+        return self.d[key]
+
+    def split(self, mask_key, mask, seed1, seed1_key, seed2, seed2_key):
+        key = ('ws', mask_key, seed1_key, seed2_key)
+        if key not in self.d:
+            self.d[key] = _watershed_split(self.cluster.get_region(mask),
+                                           seed1, seed2)
+        return self.d[key]
+
+
+def _speculate_children(memo, children, seed_distances, sd_token,
                         min_atom_size, seed_connectivity, budget=12):
     """Simulates the remaining split recursion under the all-accept
     assumption and returns every predicted sub-region mask (BFS order).
@@ -190,24 +239,25 @@ def _speculate_children(cluster, masked_cluster, children, seed_distances,
     """
     import collections
     masks = []
-    sd = seed_distances
+    sd, sd_tok = seed_distances, sd_token
     q = collections.deque(children)
     while q and len(masks) < budget:
-        mask, seed = q.popleft()
+        mask, seed, seed_key = q.popleft()
         if seed is None or mask.sum() < 2 * min_atom_size:
             continue
-        s2 = _get_next_seed(masked_cluster,
-                            np.all((cluster.model > 0, mask, sd >= 1), axis=0),
-                            lambda loc: sd[loc].max(), seed_connectivity)
+        mask_key = _hash_mask(mask)
+        s2 = memo.seed(mask_key, mask, sd, sd_tok, seed_connectivity)
         if s2 is None:
             continue
-        sd = np.minimum(sd, edt(~s2))
-        m1, m2 = _watershed_split(cluster.get_region(mask), seed, s2)
+        s2_key = _hash_mask(s2)
+        sd = np.minimum(sd, memo.seed_edt(s2, s2_key))
+        sd_tok = sd_tok + (s2_key,)
+        m1, m2 = memo.split(mask_key, mask, seed, seed_key, s2, s2_key)
         if m1.sum() < min_atom_size or m2.sum() < min_atom_size:
             continue  # the real loop would retry with another seed; one shot only
         masks += [m1, m2]
-        q.append((m1, seed))
-        q.append((m2, s2))
+        q.append((m1, seed, seed_key))
+        q.append((m2, s2, s2_key))
     return masks
 
 
@@ -224,36 +274,39 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
     if speculate is None:
         speculate = _SPECULATE
     cache = {}
+    memo = _SplitMemo(cluster, masked_cluster)
     bg_edt = edt(masked_cluster.model <= 0)
 
     root_candidate = Object()
     root_candidate.footprint = frozenset([1])
     root_candidate.seed = _get_next_seed(masked_cluster, cluster.model > 0,
-                                         lambda loc: cluster.model[loc].max(),
-                                         seed_connectivity)
+                                         cluster.model, seed_connectivity)
     atoms_map = cluster.mask.astype(int)
 
     leaf_candidates = []
     split_queue = queue.Queue()
 
-    def _spec_thunk(children, sd):
+    def _spec_thunk(children, sd, sd_tok):
         """Lazy speculation: the (EDT + watershed) simulation only runs when
         the driver round happens anyway; a failure never breaks the loop."""
         def run():
             if not speculate:
                 return ()
             try:
-                return _speculate_children(cluster, masked_cluster, children,
-                                           sd, min_atom_size, seed_connectivity)
+                return _speculate_children(memo, children, sd, sd_tok,
+                                           min_atom_size, seed_connectivity)
             except Exception:
                 return ()
         return run
 
     if root_candidate.seed is not None:
-        seed_distances = edt(~root_candidate.seed)
+        root_seed_key = _hash_mask(root_candidate.seed)
+        seed_distances = memo.seed_edt(root_candidate.seed, root_seed_key)
+        sd_token = ('root', root_seed_key)
         root_spec = _spec_thunk(
-            [(root_candidate.get_mask(atoms_map), root_candidate.seed)],
-            seed_distances)
+            [(root_candidate.get_mask(atoms_map), root_candidate.seed,
+              root_seed_key)],
+            seed_distances, sd_token)
     else:
         root_spec = None
     root_candidate.normalized_energy = (yield from _norm_energies(
@@ -268,6 +321,8 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
         split_queue.put(root_candidate)
     else:
         leaf_candidates.append(root_candidate)
+    root_candidate._seed_key = root_seed_key if root_candidate.seed is not None \
+        else None
     while not split_queue.empty():
         c0 = split_queue.get()
         c0_mask = c0.get_mask(atoms_map)
@@ -279,21 +334,27 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
         c1 = Object()
         c2 = Object()
         c1.seed = c0.seed
-        c2.seed = _get_next_seed(
-            masked_cluster,
-            np.all((cluster.model > 0, c0_mask, seed_distances >= 1), axis=0),
-            lambda loc: seed_distances[loc].max(), seed_connectivity)
+        c1._seed_key = c0._seed_key
+        c0_mask_key = _hash_mask(c0_mask)
+        c2.seed = memo.seed(c0_mask_key, c0_mask, seed_distances, sd_token,
+                            seed_connectivity)
         if c2.seed is None:
             leaf_candidates.append(c0)
             continue
         assert not np.logical_and(c1.seed, c2.seed).any()
-        seed_distances = np.min([seed_distances, edt(~c2.seed)], axis=0)
+        c2._seed_key = _hash_mask(c2.seed)
+        seed_distances = np.min(
+            [seed_distances, memo.seed_edt(c2.seed, c2._seed_key)], axis=0)
+        sd_token = sd_token + (c2._seed_key,)
 
         new_atom_label = atoms_map.max() + 1
-        c1_mask, c2_mask = _watershed_split(cluster.get_region(c0_mask), c1.seed, c2.seed)
+        c1_mask, c2_mask = memo.split(c0_mask_key, c0_mask,
+                                      c1.seed, c1._seed_key,
+                                      c2.seed, c2._seed_key)
 
         if c1_mask.sum() < min_atom_size:
             c0.seed = c2.seed    # change the seed for current region...
+            c0._seed_key = c2._seed_key
             split_queue.put(c0)  # ...and try again with different seed
             continue
 
@@ -306,8 +367,9 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
         c1.footprint = frozenset(c0.footprint)
         c2.footprint = frozenset([new_atom_label])
 
-        spec = _spec_thunk([(c1_mask, c1.seed), (c2_mask, c2.seed)],
-                           seed_distances)
+        spec = _spec_thunk([(c1_mask, c1.seed, c1._seed_key),
+                            (c2_mask, c2.seed, c2._seed_key)],
+                           seed_distances, sd_token)
         try:
             child_energies = yield from _norm_energies(
                 cache, masked_cluster, bg_edt, [c1, c2], atoms_map,
