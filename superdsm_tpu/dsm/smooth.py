@@ -59,7 +59,12 @@ def _subsample_grid_py(mask, stride, offset=(0, 0)):
     grid = np.zeros_like(mask)
     grid[go[0]::stride, go[1]::stride] = True
     grid &= mask
-    dist = mask * ndi.distance_transform_cdt(~grid, metric='chessboard')
+    # cdt returns -1 when there is no source pixel at all; the reference's
+    # distance_transform_bf returns uint32 max there (i.e. +inf), so a mask
+    # missed entirely by the regular grid still receives greedy points
+    # (/root/reference/superdsm/dsm.py:164-181)
+    d = ndi.distance_transform_cdt(~grid, metric='chessboard').astype(np.int64)
+    dist = mask * np.where(d < 0, np.iinfo(np.int32).max, d)
     H, W = mask.shape
     rr, cc = np.indices((H, W))
     while True:

@@ -266,39 +266,43 @@ int32_t sdsm_subsample_grid(const uint8_t* mask, int32_t H, int32_t W,
     sdsm_chessboard_edt(seed.data(), H, W, dist.data());
     // mask out distances outside the mask (reference multiplies by mask)
     for (int64_t i = 0; i < n; ++i) if (!mask[i]) dist[i] = 0;
-    // Greedy loop. Both scans run row-wise without per-pixel div/mod so the
-    // compiler can vectorize them; semantics (scan order, strict-< tie
-    // break) are identical to the naive per-index loops.
-    while (true) {
+    // Greedy loop over a shrinking worklist. Only pixels with
+    // dist >= stride can ever be picked, dist never increases, and the
+    // output is just the picked points — so pixels whose dist falls below
+    // stride are dropped for good, and each iteration touches O(|work|)
+    // instead of O(H*W). The worklist stays row-major sorted (built
+    // ascending, compacted stably) and the argmin uses strict <, so the
+    // tie-break matches the original full row-major scan exactly.
+    std::vector<int64_t> work;
+    for (int64_t i = 0; i < n; ++i)
+        if (dist[i] >= stride) work.push_back(i);
+    while (!work.empty()) {
         int32_t best = std::numeric_limits<int32_t>::max();
         int64_t best_i = -1;
-        for (int32_t r = 0; r < H; ++r) {
-            const int32_t* row = dist.data() + static_cast<int64_t>(r) * W;
-            for (int32_t c = 0; c < W; ++c) {
-                const int32_t v = row[c];
-                if (v >= stride && v < best) {
-                    best = v;
-                    best_i = static_cast<int64_t>(r) * W + c;
-                }
-            }
+        size_t m = 0;
+        for (size_t j = 0; j < work.size(); ++j) {
+            const int64_t i = work[j];
+            const int32_t v = dist[i];
+            if (v < stride) continue;
+            work[m++] = i;
+            if (v < best) { best = v; best_i = i; }
         }
+        work.resize(m);
         if (best_i < 0) break;
         grid_out[best_i] = 1;
         count++;
         const int32_t r0 = static_cast<int32_t>(best_i / W);
         const int32_t c0 = static_cast<int32_t>(best_i % W);
-        // dist[i] can only drop to cheb(i, new point); pixels further away
-        // than their current dist are unaffected, but dist values are not
-        // bounded row-locally, so the scan stays full — just branch-light.
-        for (int32_t r = 0; r < H; ++r) {
+        // dist[i] can only drop to cheb(i, new point); pixels outside the
+        // worklist are already below stride and never read again.
+        for (size_t j = 0; j < work.size(); ++j) {
+            const int64_t i = work[j];
+            const int32_t r = static_cast<int32_t>(i / W);
+            const int32_t c = static_cast<int32_t>(i % W);
             const int32_t dr = (r >= r0) ? (r - r0) : (r0 - r);
-            int32_t* row = dist.data() + static_cast<int64_t>(r) * W;
-            const uint8_t* mrow = mask + static_cast<int64_t>(r) * W;
-            for (int32_t c = 0; c < W; ++c) {
-                const int32_t dc = (c >= c0) ? (c - c0) : (c0 - c);
-                const int32_t d = (dr > dc) ? dr : dc;
-                if (d < row[c] && mrow[c]) row[c] = d;
-            }
+            const int32_t dc = (c >= c0) ? (c - c0) : (c0 - c);
+            const int32_t d = (dr > dc) ? dr : dc;
+            if (d < dist[i]) dist[i] = d;
         }
     }
     return count;

@@ -145,6 +145,40 @@ def test_subsample_grid_coverage():
     np.testing.assert_array_equal(grid, grid_py)
 
 
+def test_subsample_grid_native_matches_python_fuzz():
+    """The worklist-based native greedy and the python fallback are exactly
+    identical (scan order, strict-< tie break) on random blobby masks."""
+    rng = np.random.RandomState(0)
+    for _ in range(25):
+        H, W = rng.randint(40, 200), rng.randint(40, 200)
+        mask = np.zeros((H, W), bool)
+        for _b in range(rng.randint(1, 5)):
+            r0, c0 = rng.randint(0, H), rng.randint(0, W)
+            rad = rng.randint(3, 50)
+            rr, cc = np.ogrid[:H, :W]
+            mask |= (rr - r0) ** 2 + (cc - c0) ** 2 < rad ** 2
+        stride = int(rng.choice([5, 8, 14, 20]))
+        off = (int(rng.randint(0, stride)), int(rng.randint(0, stride)))
+        np.testing.assert_array_equal(subsample_grid(mask, stride, off),
+                                      _subsample_grid_py(mask, stride, off))
+
+
+def test_subsample_grid_mask_missed_by_regular_grid():
+    """A mask so small the regular stride grid misses it entirely still gets
+    greedy points: the reference's distance_transform_bf yields +inf (uint32
+    max) with no sources (/root/reference/superdsm/dsm.py:164-181), unlike
+    scipy's cdt which yields -1 — both our paths must follow the reference."""
+    mask = np.zeros((60, 60), bool)
+    rr, cc = np.ogrid[:60, :60]
+    mask |= (rr - 30) ** 2 + (cc - 35) ** 2 < 5 ** 2   # dodges the 20-grid
+    for fn in (subsample_grid, _subsample_grid_py):
+        grid = fn(mask, 20, (10, 10))
+        assert grid.any(), fn.__name__
+        assert grid[~mask].sum() == 0
+    np.testing.assert_array_equal(subsample_grid(mask, 20, (10, 10)),
+                                  _subsample_grid_py(mask, 20, (10, 10)))
+
+
 def test_full_dsm_solve_deforms():
     """Deformations must lower the energy of a non-elliptical (L-shaped) target."""
     H, W = 48, 48
