@@ -63,7 +63,7 @@ def make_image_glare(seed, H=360, W=480, n_nuclei=9, radius=16, n_glare=3):
     g, labels = make_image(seed, H=H, W=W, n_nuclei=n_nuclei, radius=radius)
     rng = np.random.RandomState(seed + 1000)
     rr, cc = np.indices((H, W))
-    # illumination gradient (up to +20% across the field)
+    # illumination gradient (up to +10% across the field)
     g = g + 0.2 * (cc / float(W)) * 0.5
     for _ in range(n_glare):
         r0 = rng.randint(10, H - 10)

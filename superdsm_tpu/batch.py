@@ -81,6 +81,14 @@ def __process_file(pipeline, data, img_filepath, overlay_filepath, seg_filepath,
         if filepath is not None:
             mkdir(pathlib.Path(filepath).parents[0])
 
+    if data is None and first_stage is not None:
+        # the pickup task error-skipped this file (its data entry is None,
+        # e.g. scale estimation failed there but may succeed on this
+        # backend/config): there is nothing to resume from, so process the
+        # file from scratch instead of tripping the pipeline's data-required
+        # assertion
+        first_stage = None
+
     histological = cfg.get('histological', False)
     imread_kwargs = {}
     if histological:
@@ -393,6 +401,8 @@ class Task:
                 self.shard_result_path(i, count).unlink(missing_ok=True)
                 self.shard_digest_path(i, count).unlink(missing_ok=True)
                 self.shard_timings_path(i, count).unlink(missing_ok=True)
+                (self.path / f'errors.{_shard_tag(i, count)}.csv').unlink(
+                    missing_ok=True)
             if not merge_ids:
                 out.write(f'Skipping merge (already merged; removed '
                           f'{len(stale)} stale sidecar(s)): '
@@ -414,9 +424,14 @@ class Task:
             with gzip.open(self.result_path, 'rb') as fin:
                 data = dill.load(fin)
         for i in merge_ids:
+            # a shard sidecar covers exactly its file stripe (or is empty for
+            # a run that skipped writing), so its entries replace the stripe
+            # VERBATIM — including None for files that error-skipped in a
+            # re-run, mirroring the unsharded path (which dumps `data`
+            # wholesale); filtering Nones here would resurrect a stale result
+            # for a file whose re-run failure is recorded in errors.csv
             with gzip.open(self.shard_result_path(i, count), 'rb') as fin:
-                data.update({k: v for k, v in dill.load(fin).items()
-                             if v is not None})
+                data.update(dill.load(fin))
             p = self.shard_timings_path(i, count)
             if p.exists():
                 with p.open('r') as fin:

@@ -189,10 +189,23 @@ class _SplitMemo:
     instead of hashing the float array. Values are shared arrays — every
     consumer treats them as read-only."""
 
+    #: Entry cap per cluster: a deep mosaic cluster's split tree would
+    #: otherwise retain dozens of full-crop float64 EDTs for the generator's
+    #: whole lifetime (x8 concurrently advancing workers). FIFO eviction
+    #: bounds residency; the spec->real reuse window is one driver round, so
+    #: evicted entries just recompute.
+    MAX_ENTRIES = 192
+
     def __init__(self, cluster, masked_cluster):
         self.cluster = cluster
         self.masked_cluster = masked_cluster
         self.d = {}
+
+    def _put(self, key, value):
+        if len(self.d) >= self.MAX_ENTRIES:
+            self.d.pop(next(iter(self.d)))
+        self.d[key] = value
+        return value
 
     def seed(self, mask_key, c0_mask, sd, sd_tok, connectivity):
         """Next-seed search on ``model > 0 & c0_mask & sd >= 1`` scored by
@@ -201,21 +214,21 @@ class _SplitMemo:
         key = ('seed', mask_key, sd_tok, connectivity)
         if key not in self.d:
             where = np.all((self.cluster.model > 0, c0_mask, sd >= 1), axis=0)
-            self.d[key] = _get_next_seed(self.masked_cluster, where, sd,
-                                         connectivity)
+            return self._put(key, _get_next_seed(self.masked_cluster, where,
+                                                 sd, connectivity))
         return self.d[key]
 
     def seed_edt(self, seed, seed_key):
         key = ('edt', seed_key)
         if key not in self.d:
-            self.d[key] = edt(~seed)
+            return self._put(key, edt(~seed))
         return self.d[key]
 
     def split(self, mask_key, mask, seed1, seed1_key, seed2, seed2_key):
         key = ('ws', mask_key, seed1_key, seed2_key)
         if key not in self.d:
-            self.d[key] = _watershed_split(self.cluster.get_region(mask),
-                                           seed1, seed2)
+            return self._put(key, _watershed_split(
+                self.cluster.get_region(mask), seed1, seed2))
         return self.d[key]
 
 

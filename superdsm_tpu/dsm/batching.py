@@ -175,6 +175,15 @@ def _shape_stats_path():
 
 _RECORDED_SHAPES = set()
 
+#: (kind, P, K, B) program shapes that have COMPLETED a device round in this
+#: process. A round containing any shape outside this set pays the remote
+#: program load + first dispatch, which the tunnel serializes server-side
+#: (measured 111-1026 s for the warmup set depending on tunnel mood) — a
+#: wall-clock deadline cannot distinguish that from a wedged tunnel, so the
+#: ``cp_timeout`` guard only arms on rounds whose every program has already
+#: run once (see :func:`solve_problems`).
+_WARM_SHAPES = set()
+
 
 def _record_shapes(entries):
     """Merges newly seen program shapes into the stats sidecar (best effort)."""
@@ -289,6 +298,7 @@ def warmup(shapes=None, maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, sigma=4.0,
         outs = fn(*args)
         jax.device_get(outs[1][:1])  # tiny sync - block_until_ready is a
         #                              no-op through the axon tunnel
+        _WARM_SHAPES.add(tuple(shape))
 
     with ThreadPoolExecutor(max_workers=threads) as pool:
         list(pool.map(lower_one, shapes))
@@ -557,6 +567,11 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
         ``cp_timeout`` (``/root/reference/superdsm/dsm.py:478-490``) — one
         round solves many problems but runs in seconds, so the same default
         (300 s) bounds a wedged tunnel without ever firing on healthy runs.
+        The deadline arms only when every program shape in the round has
+        completed a device round in this process (``_WARM_SHAPES``): a
+        first-run round legitimately pays the server-serialized remote
+        program load, which can take minutes and is indistinguishable from
+        a wedge client-side.
     :return: list of :class:`ProblemResult`, aligned with ``problems``.
     """
     from .solver import pack_and_solve_poly, _solve_dsm_packed
@@ -706,6 +721,14 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                                  f'{sum(len(c) for _, c, _ in pending)} / {len(problems)}')
 
     _record_shapes(dispatched_shapes)
+    # arm the deadline only when every program in the round has completed a
+    # run in this process: a first-run round legitimately pays the
+    # server-serialized remote program load (minutes, tunnel-mood dependent),
+    # which is indistinguishable from a wedge client-side — firing there
+    # would silently degrade every problem to init-quality fallbacks
+    if timeout is not None and any(s not in _WARM_SHAPES
+                                   for s in dispatched_shapes):
+        timeout = None
     import jax
     _t_fetch = _time.time()
     # fetch only the leaves the caller consumes — through a remote-device
@@ -736,6 +759,7 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                       f'{len(problems)} solve(s) fall back to initialization')
         return _fallback_results_after_timeout(
             problems, oversized, alpha, epsilon, smooth_amount, cutoff, fetch)
+    _WARM_SHAPES.update(dispatched_shapes)
     if _TELEMETRY:
         fetched, _its = fetched
     if _TELEMETRY:

@@ -285,6 +285,33 @@ def test_shard_run_and_merge(shard_root, capsys):
         data = dill.load(fin)
     assert sorted(data.keys()) == [0, 1, 2]
 
+    # a shard re-run in which a file error-skipped stores None for it; the
+    # re-merge must propagate the None into the merged result (the stale
+    # success must NOT be resurrected while errors.csv reports the failure)
+    with gzip.open(shard_root / 'data.shard-0-of-2.dill.gz', 'wb') as fout:
+        dill.dump({0: None, 2: data[2]}, fout)
+    digest = (shard_root / '.digest').read_text()
+    (shard_root / '.digest.shard-0-of-2').write_text(digest)
+    (shard_root / 'errors.shard-0-of-2.csv').write_text(
+        'file_id,error\n0,scale estimation failed\n')
+    run_cli([str(shard_root), '--run', '--no-fork', '--merge-shards', '2'])
+    with gzip.open(shard_root / 'data.dill.gz', 'rb') as fin:
+        data = dill.load(fin)
+    assert data[0] is None and data[2] is not None
+    errors = (shard_root / 'errors.csv').read_text()
+    assert 'scale estimation failed' in errors
+    assert not (shard_root / 'errors.shard-0-of-2.csv').exists()  # consumed
+
+    # stale-sidecar cleanup also removes the shard's orphaned errors sidecar
+    (shard_root / 'data.shard-0-of-2.dill.gz').write_bytes(b'sentinel')
+    (shard_root / 'errors.shard-0-of-2.csv').write_text(
+        'file_id,error\n0,partial run\n')
+    run_cli([str(shard_root), '--run', '--no-fork', '--merge-shards', '2'])
+    assert 'stale' in capsys.readouterr().out
+    assert not (shard_root / 'errors.shard-0-of-2.csv').exists()
+    # the previously merged error rows survive untouched
+    assert 'scale estimation failed' in (shard_root / 'errors.csv').read_text()
+
 
 def test_export_cli_pipeline_modes(tmp_path):
     """Export CLI end-to-end in every pipeline-rendering mode: 'seg' (result
@@ -416,3 +443,20 @@ def test_batch_skips_scale_estimation_failure(tmp_path, capsys):
     assert 'scale estimation failed' in errors and '0' in errors.splitlines()[1]
     seg = imread(str(root / 'seg' / '1.png'))
     assert len(np.unique(seg)) == 3  # bg + 2 objects
+
+    # pickup over an error-skipped file: its data entry is None, so there is
+    # nothing to resume from — the file must be processed from scratch (not
+    # trip the pipeline's data-required assertion). The image is replaced by
+    # a processable one (the task digest is config-keyed, so the old pickup
+    # data is reused either way).
+    imsave(str(root / 'img0.png'), g, normalize=True)
+    spec = json.load((root / 'task.json').open())
+    spec['config']['postprocess'] = {'max_eccentricity': 0.98}
+    json.dump(spec, (root / 'task.json').open('w'))
+    run_cli([str(root), '--run', '--no-fork'])
+    out = capsys.readouterr().out
+    assert 'Picking up from' in out
+    assert (root / 'seg' / '0.png').exists()
+    seg0 = imread(str(root / 'seg' / '0.png'))
+    assert len(np.unique(seg0)) == 3  # bg + 2 objects, processed from scratch
+    assert not (root / 'errors.csv').exists()  # clean re-run clears errors

@@ -392,11 +392,17 @@ def test_solve_timeout_falls_back(monkeypatch):
 
     real_get = jax.device_get
 
-    # sanity + compile warmup: without a wedge the problem solves optimally
-    # under the default 300 s deadline (and the shape's program is cached,
-    # so the wedged runs below time only the fetch)
+    # sanity + warmup: without a wedge both program shapes solve optimally
+    # under the default 300 s deadline, AND complete a device round — the
+    # deadline only arms on rounds whose every shape has already run once
+    # (first-run rounds pay the remote program load, which the guard must
+    # not mistake for a wedge)
     res3 = solve_problems([prob], alpha=0.05, smooth_amount=4, timeout=300)[0]
     assert res3.status == 'optimal'
+    prob2 = make_problem(region, smooth_amount=np.inf)
+    res4 = solve_problems([prob2], smooth_amount=np.inf, fetch='energy',
+                          timeout=300)[0]
+    assert res4.status == 'optimal'
 
     def wedged_get(x):
         _t.sleep(5.0)
@@ -413,7 +419,27 @@ def test_solve_timeout_falls_back(monkeypatch):
     assert res.fg is not None and res.fg.shape == (prob.n_pixels,)
 
     # energy-only fetch path (c2f rounds)
-    prob2 = make_problem(region, smooth_amount=np.inf)
     res2 = solve_problems([prob2], smooth_amount=np.inf, fetch='energy',
                           timeout=0.3)[0]
     assert res2.status == 'fallback' and np.isfinite(res2.energy)
+
+
+def test_solve_timeout_disarmed_on_first_run_shapes(monkeypatch):
+    """A round containing a program shape that has not completed a device
+    round in this process must IGNORE the deadline: the first run pays the
+    server-serialized remote program load (minutes through the tunnel),
+    which is indistinguishable from a wedge client-side."""
+    from superdsm_tpu.dsm import batching
+
+    H, W = 32, 32
+    rr, cc = np.indices((H, W))
+    disk = ((rr - 16.0) ** 2 + (cc - 16.0) ** 2) <= 8.0 ** 2
+    y = disk.astype(np.float32) - 0.5
+    prob = make_problem(Image(model=y), smooth_amount=4, smooth_subsample=6)
+
+    monkeypatch.setattr(batching, '_WARM_SHAPES', set())
+    # a 1 us armed deadline would certainly expire; the cold shape disarms it
+    res = solve_problems([prob], alpha=0.05, smooth_amount=4, timeout=1e-6)[0]
+    assert res.status == 'optimal'
+    # ...and the round marked its shapes warm, so the deadline arms now
+    assert batching._WARM_SHAPES
