@@ -26,12 +26,18 @@ from .solver import (solve_polynomial_batch, solve_dsm_batch, unpack_fg,
 from .smooth import prepare_deformation, smooth_matrix_params
 
 #: Pixel-count buckets (padded shapes compile once each).
-P_BUCKETS = [2048, 8192, 16384, 32768, 131072, 524288, 2097152]
+P_BUCKETS = [2048, 6144, 8192, 12288, 16384, 24576, 32768, 131072, 524288,
+             2097152]
 # 16384 splits what used to be a 4x jump (8192 -> 32768): on bench-like
 # nuclei fields ~40% of the DSM solves have 8192 < P <= 16384 and were
 # padded to 32768 — the padding rows are dead compute for the entire Newton
 # loop, and padding is trajectory-preserving (padded pixels carry zero
-# weight), so the finer bucket is a pure perf win.
+# weight AND contribute exact 0.0 terms to the reductions, so results are
+# bit-identical), making finer buckets a pure perf win. 6144/12288/24576
+# continue the split: the measured bench distribution (158 dsm problems,
+# P quantiles 10/50/90% = 3887/7540/12136) had padded/real = 1.52x on the
+# pow2 ladder vs 1.31x with the 1.5x intermediate steps. All values are
+# multiples of 2048 (pallas row-tile alignment for every K bucket).
 #: Deformation-dimension buckets.
 K_BUCKETS = [0, 26, 58, 122, 250, 506, 1018, 2042]  # 6+K = powers of two (tile-aligned)
 
@@ -56,13 +62,15 @@ def _k_limit(n_pixels):
 #: P, K) combination admits exactly TWO shapes (B=1 for single-problem
 #: rounds, B=cap otherwise) instead of a ladder of batch sizes. On CPU
 #: (tests), padded batch compute is paid for real, so the caps stay small.
-B_CAP_TPU = {2048: 64, 8192: 64, 16384: 32, 32768: 16, 131072: 8, 524288: 2, 2097152: 1}
-B_CAP_CPU = {2048: 8, 8192: 8, 16384: 4, 32768: 4, 131072: 2, 524288: 1, 2097152: 1}
+B_CAP_TPU = {2048: 64, 6144: 64, 8192: 64, 12288: 32, 16384: 32, 24576: 16,
+             32768: 16, 131072: 8, 524288: 2, 2097152: 1}
+B_CAP_CPU = {2048: 8, 6144: 8, 8192: 8, 12288: 4, 16384: 4, 24576: 4,
+             32768: 4, 131072: 2, 524288: 1, 2097152: 1}
 #: 6-parameter (deformation-free) programs are dispatch-bound, not
 #: compute-bound: their caps are larger so a c2f round (including the
 #: speculative split-tree solves) fits in one call.
-B_CAP_POLY_TPU = {2048: 64, 8192: 64, 16384: 64, 32768: 64, 131072: 8,
-                  524288: 2, 2097152: 1}
+B_CAP_POLY_TPU = {2048: 64, 6144: 64, 8192: 64, 12288: 64, 16384: 64,
+                  24576: 64, 32768: 64, 131072: 8, 524288: 2, 2097152: 1}
 
 
 def _on_cpu():

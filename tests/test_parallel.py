@@ -151,9 +151,19 @@ def test_pipelined_matches_sequential():
 
 
 def test_pipeline_mesh_equivalence():
-    """The production pipeline must produce identical label maps whether
+    """The production pipeline must produce equivalent results whether
     solve_problems runs single-device or sharded over the 8-device mesh
-    batch axis (VERDICT item 4: multi-chip in the pipeline, not a demo)."""
+    batch axis (VERDICT item 4: multi-chip in the pipeline, not a demo).
+
+    Equivalence is up to the backend-noise class (VALIDATION.md): the
+    SPMD-partitioned program's per-device codegen (local batch 1) differs
+    from the single-device program (local batch B), and the creep-truncated
+    Newton trajectories snapshot that drift — measured: energies shift
+    ~0.1%, one boundary pixel of 14400 flips. Bit-exactness held at the
+    pre-2026-08-18 bucket shapes by codegen luck (forcing the single-device
+    batch to the mesh's padded size reproduces the single-device result, so
+    the drift is partitioned-codegen, not batch padding). Object identity,
+    per-object masks (IoU), and energies are pinned tightly instead."""
     import numpy as np
     from superdsm_tpu.pipeline import create_default_pipeline
     from superdsm_tpu.config import Config
@@ -181,7 +191,22 @@ def test_pipeline_mesh_equivalence():
     seg8 = rasterize_labels(data8)
 
     assert len(data1['postprocessed_objects']) == len(data8['postprocessed_objects']) == 3
-    assert (seg1 == seg8).all()
+    # same label geometry up to the backend-noise class: every object
+    # overlaps its counterpart at IoU >= 0.99 and at most a few boundary
+    # pixels differ in total
+    assert (seg1 > 0).sum() > 0
+    assert int((seg1 != seg8).sum()) <= 10
+    for label in range(1, seg1.max() + 1):
+        m1 = seg1 == label
+        # match by majority overlap (labels may permute)
+        label8 = np.bincount(seg8[m1]).argmax()
+        assert label8 > 0
+        m8 = seg8 == label8
+        iou = (m1 & m8).sum() / (m1 | m8).sum()
+        assert iou >= 0.99, (label, iou)
+    e1 = np.sort([float(o.energy) for o in data1['objects']])
+    e8 = np.sort([float(o.energy) for o in data8['objects']])
+    np.testing.assert_allclose(e1, e8, rtol=5e-3)
 
 
 def test_rasterize_mosaic_labels_overlapping_bboxes():
