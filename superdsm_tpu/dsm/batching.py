@@ -170,6 +170,52 @@ def _batch_shape(n_problems, pb, kind='dsm'):
     return b
 
 
+#: Minimum per-row gram work (pixels x (6+K)^2 MACs per iteration) for
+#: splitting a group's tail chunk to be worth an extra launch: below this
+#: the padded rows cost less than the ~30 ms per-call tunnel floor.
+_SPLIT_MIN_WORK = 6e8
+
+
+def _dsm_chunk_sizes(n, cap, pb, kb, min_b=1):
+    """Chunk sizes for an ``n``-problem ``(pb, kb)`` DSM group.
+
+    Full-cap chunks followed by the remainder. The remainder pads to a power
+    of two (:func:`_batch_shape`), which can waste up to half the batch rows
+    for the WHOLE Newton loop (e.g. 19 pads to 32). When the group's gram
+    work is compute-bound rather than launch-bound, the remainder dispatches
+    as TWO chunks — the largest power of two below it plus the padded rest
+    (19 -> 16 + 4 = 20 padded rows) — reusing batch shapes the ladder
+    already compiles. Trajectory-preserving: lanes freeze individually once
+    converged (``solver._solve_batch_impl``), so batch composition never
+    changes a problem's iterates. Disabled under a pipeline mesh
+    (``min_b > 1``: every chunk pads to the mesh batch anyway) and on CPU
+    shapes (the work gate), so the exact CPU goldens pin correctness.
+    """
+    sizes = []
+    while n > cap:
+        sizes.append(cap)
+        n -= cap
+    if n <= 0:
+        return sizes
+
+    def pow2(m):
+        b = 1
+        while b < m:
+            b *= 2
+        return b
+
+    padded = pow2(n)
+    if min_b == 1 and pb * (6 + kb) ** 2 >= _SPLIT_MIN_WORK and padded > n:
+        lo = padded // 2  # largest power of two below n (n is not a pow2)
+        rest = n - lo
+        saved = padded - (lo + pow2(rest))
+        if saved >= 4 and saved * 4 >= padded:
+            sizes += [lo, rest]
+            return sizes
+    sizes.append(n)
+    return sizes
+
+
 def _shape_stats_path():
     """Platform-scoped sidecar of the persistent compile cache recording the
     (kind, P, K, B) program shapes actually dispatched, so warmup compiles
@@ -681,10 +727,19 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
             pending.append(('poly', chunk, outs))
 
     for (pb, kb), idxs in sorted(dsm_groups.items()):
-        idxs.sort(key=lambda i: problems[i].n_pixels)
+        # cold problems first: warm-started lanes converge in far fewer
+        # iterations and freeze individually, so sorting packs the warm
+        # problems into their own tail chunk(s) — that dispatch stops at
+        # the warm iteration count instead of being dragged to the cold
+        # problems' cap, and an all-warm chunk also skips the elliptical
+        # init phase inside ``_solve_dsm_packed``
+        idxs.sort(key=lambda i: (problems[i].init_params is not None,
+                                 problems[i].n_pixels))
         bmax = _b_cap(pb)
-        for chunk_start in range(0, len(idxs), bmax):
-            chunk = idxs[chunk_start: chunk_start + bmax]
+        chunk_start = 0
+        for size in _dsm_chunk_sizes(len(idxs), bmax, pb, kb, min_b):
+            chunk = idxs[chunk_start: chunk_start + size]
+            chunk_start += size
             Bp = max(_batch_shape(len(chunk), pb), min_b)
             dispatched_shapes.append(('dsm', pb, kb, Bp))
             PIXa = np.zeros((Bp, pb, 2), np.int16)

@@ -443,3 +443,72 @@ def test_solve_timeout_disarmed_on_first_run_shapes(monkeypatch):
     assert res.status == 'optimal'
     # ...and the round marked its shapes warm, so the deadline arms now
     assert batching._WARM_SHAPES
+
+
+def test_dsm_chunk_sizes_policy():
+    """Tail-chunk splitting: only on compute-bound shapes, only when the
+    padded-row saving is material, never under a pipeline mesh."""
+    from superdsm_tpu.dsm.batching import _dsm_chunk_sizes
+
+    # 19 pads to 32; 16 + pad(3)=4 saves 12 rows on a compute-bound shape
+    assert _dsm_chunk_sizes(19, 32, 12288, 250) == [16, 3]
+    assert _dsm_chunk_sizes(18, 32, 16384, 506) == [16, 2]
+    # full-cap chunks come off first, the remainder may still split
+    assert _dsm_chunk_sizes(32 + 19, 32, 12288, 250) == [32, 16, 3]
+    # saving below 4 rows is not worth another ~30 ms launch floor
+    assert _dsm_chunk_sizes(5, 16, 16384, 506) == [5]
+    # 31 -> 16 + pad(15)=16 saves nothing
+    assert _dsm_chunk_sizes(31, 32, 12288, 250) == [31]
+    # launch-bound small shapes never split (the CPU/test regime)
+    assert _dsm_chunk_sizes(19, 32, 2048, 26) == [19]
+    # under a pipeline mesh every chunk pads to the mesh batch anyway
+    assert _dsm_chunk_sizes(19, 32, 12288, 250, min_b=8) == [19]
+    # exact powers of two are untouched
+    assert _dsm_chunk_sizes(16, 32, 12288, 250) == [16]
+
+
+def test_chunk_composition_invariance():
+    """Splitting a group into different batch chunks must not change any
+    problem's solution: lanes freeze individually, so batch composition is
+    not part of a problem's trajectory (this underwrites the tail-chunk
+    splitting and the cold-first sort in ``solve_problems``)."""
+    from superdsm_tpu.dsm import batching
+
+    rng = np.random.RandomState(7)
+    problems = []
+    for q in range(9):
+        H, W = 40, 40
+        rr, cc = np.indices((H, W))
+        r0, c0 = rng.randint(14, 26, 2)
+        rad = rng.uniform(6, 11)
+        ecc = rng.uniform(0.85, 1.2)
+        disk = (((rr - r0) / ecc) ** 2 + ((cc - c0) * ecc) ** 2) <= rad ** 2
+        y = disk.astype(np.float32) - 0.5 + rng.randn(H, W).astype(np.float32) * 0.01
+        problems.append(make_problem(Image(model=y), smooth_amount=4,
+                                     smooth_subsample=6))
+
+    kw = dict(alpha=0.05, smooth_amount=4, maxiter=25)
+    base = solve_problems(problems, **kw)
+    # warm-start a subset from the first solve: the cold-first sort now
+    # reshuffles lanes across chunks
+    for i in (1, 4, 6, 8):
+        problems[i] = Problem(
+            pts=problems[i].pts, offset=problems[i].offset,
+            img_shape=problems[i].img_shape, yv=problems[i].yv,
+            sub=problems[i].sub, init_params=base[i].params)
+    warm = solve_problems(problems, **kw)
+
+    # force a different chunking of the same problems (cap 4 vs cap 2)
+    orig = dict(batching.B_CAP_CPU)
+    try:
+        for pb in batching.B_CAP_CPU:
+            batching.B_CAP_CPU[pb] = 2
+        rechunked = solve_problems(problems, **kw)
+    finally:
+        batching.B_CAP_CPU.update(orig)
+
+    for a, b in zip(warm, rechunked):
+        np.testing.assert_allclose(a.energy, b.energy, rtol=1e-4, atol=1e-5)
+        assert a.status == b.status
+        same = (a.fg == b.fg).mean()
+        assert same > 0.99, same
