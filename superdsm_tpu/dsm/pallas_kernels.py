@@ -171,6 +171,93 @@ def nband_for(n):
 #: Test hook: run pallas_call in interpret mode (CPU emulation).
 _FORCE_INTERPRET = False
 
+#: Triangle-blocked dense gram: H = Bf^T diag(kappa) Bf is symmetric, so only
+#: the upper-triangle 128x128 block pairs need MXU passes — the lower blocks
+#: are transposes (nbg(nbg+1)/2 of nbg^2 dots: 10/16 at n = 512, 36/64 at
+#: n = 1024). The mirrored blocks match the straight dots to rounding (the
+#: operand order of the kappa scaling swaps), the same backend-noise class as
+#: the banded kernel's off-diagonal mirror. MEASURED (round 3, real chip,
+#: (16, 32768, 512) — the cold-universe gem bucket): 10.3 -> 6.0 ms per gram
+#: call (1.7x), g bitwise identical, max relative H deviation 1.2e-8.
+#: Set SDSM_GRAM_TRI=0 to fall back to the full dense kernel.
+TRI_GRAM = os.environ.get('SDSM_GRAM_TRI', '1') == '1'
+
+
+def _make_tri_kernel(gram_dot, nbg):
+    """Triangle-blocked dense gram kernel: grid (B, P//tp); all ``nbg``
+    128-column groups participate, H computed as u <= v block pairs with the
+    lower triangle mirrored by transpose. Outputs use the same block layout
+    as the banded kernel — g (B, nbg, 1, 128), H (B, nbg, nbg, 128, 128) —
+    reshaped back by the caller."""
+    def kernel(aux_ref, *refs):
+        bf_blocks = refs[:nbg]
+        g_ref, h_ref = refs[nbg], refs[nbg + 1]
+        i = pl.program_id(1)
+        s = aux_ref[0, 0, :]
+        yv = aux_ref[0, 1, :]
+        w = aux_ref[0, 2, :]
+        t = yv * s
+        sig = jax.nn.sigmoid(-t)
+        term1 = -yv * sig * w
+        kappa = w * yv * yv * sig * (1.0 - sig)
+
+        @pl.when(i == 0)
+        def _():
+            g_ref[0] = jnp.zeros_like(g_ref[0])
+            h_ref[0] = jnp.zeros_like(h_ref[0])
+
+        blocks = [bf_blocks[u][0] for u in range(nbg)]        # (tp, 128)
+        scaled = [blk * kappa[:, None] for blk in blocks]
+        for u in range(nbg):
+            gpart = jnp.dot(term1[None, :], blocks[u],
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)  # (1, 128)
+            g_ref[0, u] = g_ref[0, u] + gpart
+            for v in range(u, nbg):
+                hpart = gram_dot(scaled[u], blocks[v])           # (128, 128)
+                h_ref[0, u, v] = h_ref[0, u, v] + hpart
+                if v != u:
+                    h_ref[0, v, u] = h_ref[0, v, u] + hpart.T
+        return
+
+    return kernel
+
+
+def _tri_grad_hess_call(Bf, aux, gram_dot=None):
+    """Dispatches the triangle-blocked dense kernel; returns (g, H)."""
+    B, P, n = Bf.shape
+    nbg = n // 128
+    tp = _tile_rows(P, n)
+    kernel = _make_tri_kernel(gram_dot or _gram_dot_full, nbg)
+    g_blk, h_blk = pl.pallas_call(
+        kernel,
+        grid=(B, P // tp),
+        in_specs=[
+            pl.BlockSpec((1, 3, tp), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, tp, 128),
+                         functools.partial(lambda k, b, i: (b, i, k), k),
+                         memory_space=pltpu.VMEM)
+            for k in range(nbg)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, nbg, 1, 128), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nbg, nbg, 128, 128),
+                         lambda b, i: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nbg, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, nbg, nbg, 128, 128), jnp.float32),
+        ),
+        interpret=_FORCE_INTERPRET,
+    )(aux, *([Bf] * nbg))
+    g = g_blk.reshape(B, n)
+    H = h_blk.transpose(0, 1, 3, 2, 4).reshape(B, n, n)
+    return g, H
+
 
 def _make_banded_kernel(gram_dot, nband, nbg):
     """Banded gram kernel: grid (B, P//tp); per tile, only ``nband + 1``
@@ -371,19 +458,26 @@ def fused_grad_hess_batched(Bf, s, yv, w, cheap=False, cb=None, fits=None):
     nband = nband_for(n)
     use_banded = (cb is not None and fits is not None and nband > 0
                   and not cheap)
+    # full-width gram when no band applies (and the fits=False branch of the
+    # banded cond): triangle-blocked when the symmetry saves MXU passes
+    use_tri = TRI_GRAM and not cheap and n % 128 == 0 and n // 128 >= 2
     if use_banded:
         banded_kernel = _make_banded_kernel(_gram_dot_full, nband, n // 128)
 
+    def full_gram(Bf_c, aux_c):
+        if use_tri:
+            return _tri_grad_hess_call(Bf_c, aux_c)
+        g, H = _fused_grad_hess_call(Bf_c, aux_c, kernel)
+        return g[:, 0, :], H
+
     def one_chunk(Bf_c, aux_c, cb_c):
         if not use_banded:
-            g, H = _fused_grad_hess_call(Bf_c, aux_c, kernel)
-            return g[:, 0, :], H
+            return full_gram(Bf_c, aux_c)
         return jax.lax.cond(
             fits,
             lambda args: _banded_grad_hess_call(args[0], args[1], args[2],
                                                 nband, banded_kernel),
-            lambda args: (lambda g, H: (g[:, 0, :], H))(
-                *_fused_grad_hess_call(args[0], args[1], kernel)),
+            lambda args: full_gram(args[0], args[1]),
             (Bf_c, aux_c, cb_c))
 
     bc = _batch_chunk(n)

@@ -126,6 +126,40 @@ def test_banded_fallback_when_band_does_not_fit():
     np.testing.assert_array_equal(np.asarray(H_fb), np.asarray(H_dense))
 
 
+def test_triangle_matches_full_dense_and_reference():
+    """The triangle-blocked dense kernel (u <= v block pairs + transpose
+    mirror) must reproduce the full dense kernel on a generic (non-banded)
+    feature matrix — it is the default full-width gram on TPU."""
+    rng = np.random.RandomState(2)
+    B, P, n = 2, 1024, 512
+    Bf = (rng.rand(B, P, n) - 0.5).astype(np.float32)
+    s = rng.randn(B, P).astype(np.float32)
+    yv = np.sign(rng.randn(B, P)).astype(np.float32)
+    w = rng.rand(B, P).astype(np.float32)
+
+    g_tri, H_tri = pk._tri_grad_hess_call(
+        jnp.asarray(Bf), jnp.stack([s, yv, w], axis=1))
+    g_dense, H_dense = pk._fused_grad_hess_call(
+        jnp.asarray(Bf), jnp.stack([s, yv, w], axis=1))
+    np.testing.assert_array_equal(np.asarray(g_tri),
+                                  np.asarray(g_dense[:, 0, :]))
+    np.testing.assert_allclose(np.asarray(H_tri), np.asarray(H_dense),
+                               rtol=1e-5, atol=1e-5)
+    # the mirrored off-diagonal blocks are exact transposes of each other
+    # (diagonal blocks only symmetric to rounding: the kappa multiply order
+    # differs between (i, j) and (j, i))
+    H_tri = np.asarray(H_tri)
+    np.testing.assert_array_equal(H_tri[:, 128:, :128],
+                                  H_tri[:, :128, 128:].transpose(0, 2, 1))
+
+    g_ref, H_ref = jax.vmap(_data_grad_hess)(
+        jnp.asarray(Bf), jnp.asarray(s), jnp.asarray(yv), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(g_tri), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(H_tri, np.asarray(H_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_band_detects_misfit():
     """A shuffled (non-row-sorted) subsample grid must report fits=False
     rather than silently dropping nonzero blocks."""
