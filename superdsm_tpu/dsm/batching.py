@@ -826,11 +826,16 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
     if _TELEMETRY:
         fetched, _its = fetched
     if _TELEMETRY:
-        shapes = [(kind, len(chunk), int(it))
+        # per-lane convergence iterations: (kind, n_real, max over real
+        # lanes, mean over real lanes). max/mean gap = gram FLOPs the
+        # frozen-lane kernel skip recovers; padded lanes converge at ~1.
+        shapes = [(kind, len(chunk),
+                   int(np.max(np.asarray(it)[:len(chunk)])),
+                   round(float(np.mean(np.asarray(it)[:len(chunk)])), 1))
                   for (kind, chunk, _), it in zip(pending, _its)]
         print(f'[solve_problems] n={len(problems)} calls={len(pending)} '
               f'dispatch={_t_fetch - _t_start:.3f}s fetch={_time.time() - _t_fetch:.3f}s '
-              f'groups(kind,n,iters)={shapes} '
+              f'groups(kind,n,itmax,itmean)={shapes} '
               f'poly={sorted((pb, len(v)) for pb, v in poly_groups.items())} '
               f'dsm={sorted((k, len(v)) for k, v in dsm_groups.items())}',
               file=_sys.stderr, flush=True)

@@ -83,28 +83,36 @@ def _gram_dot_1pass(a, b):
 
 
 def _make_grad_hess_kernel(gram_dot):
-    """Kernel body shared by every gram precision — only the H dot differs."""
-    def kernel(aux_ref, bf_ref, g_ref, h_ref):
-        s = aux_ref[0, 0, :]
-        yv = aux_ref[0, 1, :]
-        w = aux_ref[0, 2, :]
-        t = yv * s
-        sig = jax.nn.sigmoid(-t)
-        term1 = -yv * sig * w
-        kappa = w * yv * yv * sig * (1.0 - sig)
+    """Kernel body shared by every gram precision — only the H dot differs.
 
-        bf = bf_ref[0]                                   # (TP, n)
-        gpart = jnp.dot(term1[None, :], bf, precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)   # (1, n)
-        hpart = gram_dot(bf * kappa[:, None], bf)             # (n, n)
+    ``act_ref`` is the scalar-prefetched per-lane activity flag (see
+    ``fused_grad_hess_batched``): Newton lanes freeze permanently once
+    converged and their g/H are discarded by the solver's ``where`` masking,
+    so a frozen lane skips the MXU passes entirely (its outputs stay the
+    zero-init) — exactly trajectory-preserving for the lanes that matter."""
+    def kernel(act_ref, aux_ref, bf_ref, g_ref, h_ref):
+        b = pl.program_id(0)
 
         @pl.when(pl.program_id(1) == 0)
         def _():
-            g_ref[0] = gpart
-            h_ref[0] = hpart
+            g_ref[0] = jnp.zeros_like(g_ref[0])
+            h_ref[0] = jnp.zeros_like(h_ref[0])
 
-        @pl.when(pl.program_id(1) > 0)
+        @pl.when(act_ref[b] != 0)
         def _():
+            s = aux_ref[0, 0, :]
+            yv = aux_ref[0, 1, :]
+            w = aux_ref[0, 2, :]
+            t = yv * s
+            sig = jax.nn.sigmoid(-t)
+            term1 = -yv * sig * w
+            kappa = w * yv * yv * sig * (1.0 - sig)
+
+            bf = bf_ref[0]                                   # (TP, n)
+            gpart = jnp.dot(term1[None, :], bf,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)   # (1, n)
+            hpart = gram_dot(bf * kappa[:, None], bf)             # (n, n)
             g_ref[0] = g_ref[0] + gpart
             h_ref[0] = h_ref[0] + hpart
 
@@ -189,71 +197,80 @@ def _make_tri_kernel(gram_dot, nbg):
     lower triangle mirrored by transpose. Outputs use the same block layout
     as the banded kernel — g (B, nbg, 1, 128), H (B, nbg, nbg, 128, 128) —
     reshaped back by the caller."""
-    def kernel(aux_ref, *refs):
+    def kernel(act_ref, aux_ref, *refs):
         bf_blocks = refs[:nbg]
         g_ref, h_ref = refs[nbg], refs[nbg + 1]
+        b = pl.program_id(0)
         i = pl.program_id(1)
-        s = aux_ref[0, 0, :]
-        yv = aux_ref[0, 1, :]
-        w = aux_ref[0, 2, :]
-        t = yv * s
-        sig = jax.nn.sigmoid(-t)
-        term1 = -yv * sig * w
-        kappa = w * yv * yv * sig * (1.0 - sig)
 
         @pl.when(i == 0)
         def _():
             g_ref[0] = jnp.zeros_like(g_ref[0])
             h_ref[0] = jnp.zeros_like(h_ref[0])
 
-        blocks = [bf_blocks[u][0] for u in range(nbg)]        # (tp, 128)
-        scaled = [blk * kappa[:, None] for blk in blocks]
-        for u in range(nbg):
-            gpart = jnp.dot(term1[None, :], blocks[u],
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)  # (1, 128)
-            g_ref[0, u] = g_ref[0, u] + gpart
-            for v in range(u, nbg):
-                hpart = gram_dot(scaled[u], blocks[v])           # (128, 128)
-                h_ref[0, u, v] = h_ref[0, u, v] + hpart
-                if v != u:
-                    h_ref[0, v, u] = h_ref[0, v, u] + hpart.T
+        @pl.when(act_ref[b] != 0)
+        def _():
+            s = aux_ref[0, 0, :]
+            yv = aux_ref[0, 1, :]
+            w = aux_ref[0, 2, :]
+            t = yv * s
+            sig = jax.nn.sigmoid(-t)
+            term1 = -yv * sig * w
+            kappa = w * yv * yv * sig * (1.0 - sig)
+
+            blocks = [bf_blocks[u][0] for u in range(nbg)]        # (tp, 128)
+            scaled = [blk * kappa[:, None] for blk in blocks]
+            for u in range(nbg):
+                gpart = jnp.dot(term1[None, :], blocks[u],
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)  # (1, 128)
+                g_ref[0, u] = g_ref[0, u] + gpart
+                for v in range(u, nbg):
+                    hpart = gram_dot(scaled[u], blocks[v])           # (128, 128)
+                    h_ref[0, u, v] = h_ref[0, u, v] + hpart
+                    if v != u:
+                        h_ref[0, v, u] = h_ref[0, v, u] + hpart.T
         return
 
     return kernel
 
 
-def _tri_grad_hess_call(Bf, aux, gram_dot=None):
+def _tri_grad_hess_call(Bf, aux, active, gram_dot=None):
     """Dispatches the triangle-blocked dense kernel; returns (g, H)."""
     B, P, n = Bf.shape
     nbg = n // 128
     tp = _tile_rows(P, n)
     kernel = _make_tri_kernel(gram_dot or _gram_dot_full, nbg)
-    g_blk, h_blk = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, P // tp),
         in_specs=[
-            pl.BlockSpec((1, 3, tp), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, 3, tp), lambda b, i, act: (b, 0, i * act[b]),
                          memory_space=pltpu.VMEM),
         ] + [
             pl.BlockSpec((1, tp, 128),
-                         functools.partial(lambda k, b, i: (b, i, k), k),
+                         functools.partial(
+                             lambda k, b, i, act: (b, i * act[b], k), k),
                          memory_space=pltpu.VMEM)
             for k in range(nbg)
         ],
         out_specs=(
-            pl.BlockSpec((1, nbg, 1, 128), lambda b, i: (b, 0, 0, 0),
+            pl.BlockSpec((1, nbg, 1, 128), lambda b, i, act: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nbg, nbg, 128, 128),
-                         lambda b, i: (b, 0, 0, 0, 0),
+                         lambda b, i, act: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
+    )
+    g_blk, h_blk = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, nbg, 1, 128), jnp.float32),
             jax.ShapeDtypeStruct((B, nbg, nbg, 128, 128), jnp.float32),
         ),
         interpret=_FORCE_INTERPRET,
-    )(aux, *([Bf] * nbg))
+    )(active, aux, *([Bf] * nbg))
     g = g_blk.reshape(B, n)
     H = h_blk.transpose(0, 1, 3, 2, 4).reshape(B, n, n)
     return g, H
@@ -268,74 +285,83 @@ def _make_banded_kernel(gram_dot, nband, nbg):
     stores; the caller reshapes back to (B, n) / (B, n, n)."""
     ngroups = nband + 1
 
-    def kernel(cb_ref, aux_ref, *refs):
+    def kernel(act_ref, cb_ref, aux_ref, *refs):
         bf_blocks = refs[:ngroups]
         g_ref, h_ref = refs[ngroups], refs[ngroups + 1]
         b = pl.program_id(0)
         i = pl.program_id(1)
-        s = aux_ref[0, 0, :]
-        yv = aux_ref[0, 1, :]
-        w = aux_ref[0, 2, :]
-        t = yv * s
-        sig = jax.nn.sigmoid(-t)
-        term1 = -yv * sig * w
-        kappa = w * yv * yv * sig * (1.0 - sig)
 
         @pl.when(i == 0)
         def _():
             g_ref[0] = jnp.zeros_like(g_ref[0])
             h_ref[0] = jnp.zeros_like(h_ref[0])
 
-        c0 = cb_ref[b, i]
-        bidx = [0] + [c0 + k for k in range(nband)]
-        blocks = [bf_blocks[u][0] for u in range(ngroups)]      # (tp, 128)
-        scaled = [blk * kappa[:, None] for blk in blocks]
-        for u in range(ngroups):
-            gpart = jnp.dot(term1[None, :], blocks[u],
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)  # (1, 128)
-            g_ref[0, bidx[u]] = g_ref[0, bidx[u]] + gpart
-            for v in range(u, ngroups):
-                hpart = gram_dot(scaled[u], blocks[v])           # (128, 128)
-                h_ref[0, bidx[u], bidx[v]] = h_ref[0, bidx[u], bidx[v]] + hpart
-                if v != u:
-                    # H is symmetric up to which operand carries kappa; the
-                    # transpose matches the dense kernel to rounding (the
-                    # backend-noise class pinned by the validation harness)
-                    h_ref[0, bidx[v], bidx[u]] = \
-                        h_ref[0, bidx[v], bidx[u]] + hpart.T
+        @pl.when(act_ref[b] != 0)
+        def _():
+            s = aux_ref[0, 0, :]
+            yv = aux_ref[0, 1, :]
+            w = aux_ref[0, 2, :]
+            t = yv * s
+            sig = jax.nn.sigmoid(-t)
+            term1 = -yv * sig * w
+            kappa = w * yv * yv * sig * (1.0 - sig)
+
+            c0 = cb_ref[b, i]
+            bidx = [0] + [c0 + k for k in range(nband)]
+            blocks = [bf_blocks[u][0] for u in range(ngroups)]      # (tp, 128)
+            scaled = [blk * kappa[:, None] for blk in blocks]
+            for u in range(ngroups):
+                gpart = jnp.dot(term1[None, :], blocks[u],
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)  # (1, 128)
+                g_ref[0, bidx[u]] = g_ref[0, bidx[u]] + gpart
+                for v in range(u, ngroups):
+                    hpart = gram_dot(scaled[u], blocks[v])           # (128, 128)
+                    h_ref[0, bidx[u], bidx[v]] = \
+                        h_ref[0, bidx[u], bidx[v]] + hpart
+                    if v != u:
+                        # H is symmetric up to which operand carries kappa;
+                        # the transpose matches the dense kernel to rounding
+                        # (the backend-noise class pinned by the validation
+                        # harness)
+                        h_ref[0, bidx[v], bidx[u]] = \
+                            h_ref[0, bidx[v], bidx[u]] + hpart.T
         return
 
     return kernel
 
 
-def _banded_grad_hess_call(Bf, aux, cb, nband, kernel):
+def _banded_grad_hess_call(Bf, aux, cb, active, nband, kernel):
     """Dispatches the banded kernel; returns block-layout (g, H)."""
     B, P, n = Bf.shape
     nbg = n // 128
     tp = _tile_rows(P, n)
     ngroups = nband + 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, P // tp),
         in_specs=[
-            pl.BlockSpec((1, 3, tp), lambda b, i, cb_ref: (b, 0, i),
+            pl.BlockSpec((1, 3, tp),
+                         lambda b, i, act, cbr: (b, 0, i * act[b]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, 128), lambda b, i, cb_ref: (b, i, 0),
+            pl.BlockSpec((1, tp, 128),
+                         lambda b, i, act, cbr: (b, i * act[b], 0),
                          memory_space=pltpu.VMEM),
         ] + [
             pl.BlockSpec((1, tp, 128),
                          functools.partial(
-                             lambda k, b, i, cb_ref: (b, i, cb_ref[b, i] + k),
+                             lambda k, b, i, act, cbr:
+                             (b, i * act[b], cbr[b, i * act[b]] + k),
                              k),
                          memory_space=pltpu.VMEM)
             for k in range(nband)
         ],
         out_specs=(
-            pl.BlockSpec((1, nbg, 1, 128), lambda b, i, cb_ref: (b, 0, 0, 0),
+            pl.BlockSpec((1, nbg, 1, 128),
+                         lambda b, i, act, cbr: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nbg, nbg, 128, 128),
-                         lambda b, i, cb_ref: (b, 0, 0, 0, 0),
+                         lambda b, i, act, cbr: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
@@ -347,7 +373,7 @@ def _banded_grad_hess_call(Bf, aux, cb, nband, kernel):
             jax.ShapeDtypeStruct((B, nbg, nbg, 128, 128), jnp.float32),
         ),
         interpret=_FORCE_INTERPRET,
-    )(cb, aux, *([Bf] * ngroups))
+    )(active, cb, aux, *([Bf] * ngroups))
     g = g_blk.reshape(B, n)
     H = h_blk.transpose(0, 1, 3, 2, 4).reshape(B, n, n)
     return g, H
@@ -407,34 +433,42 @@ def compute_band_blocks(pix_rows, w, sub_rows, kmask, cutoff, n, tp):
 HYBRID_ITERS = int(os.environ.get('SDSM_GRAM_HYBRID_ITERS', '0'))
 
 
-def _fused_grad_hess_call(Bf, aux, kernel=None):
+def _fused_grad_hess_call(Bf, aux, active, kernel=None):
     B, P, n = Bf.shape
     tp = _tile_rows(P, n)
-    return pl.pallas_call(
-        kernel or _grad_hess_kernel,
+    # frozen lanes pin their Bf block index to 0: consecutive grid steps with
+    # an unchanged index elide the HBM->VMEM copy, so a frozen lane skips the
+    # DMA traffic as well as the MXU passes
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, P // tp),
         in_specs=[
-            pl.BlockSpec((1, 3, tp), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, 3, tp), lambda b, i, act: (b, 0, i * act[b]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tp, n), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tp, n), lambda b, i, act: (b, i * act[b], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, n), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, 1, n), lambda b, i, act: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, n, n), lambda b, i, act: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
+    )
+    return pl.pallas_call(
+        kernel or _grad_hess_kernel,
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, 1, n), jnp.float32),
             jax.ShapeDtypeStruct((B, n, n), jnp.float32),
         ),
         interpret=_FORCE_INTERPRET,
-    )(aux, Bf)
+    )(active, aux, Bf)
 
 
 @functools.partial(jax.jit, static_argnames=('cheap',))
-def fused_grad_hess_batched(Bf, s, yv, w, cheap=False, cb=None, fits=None):
+def fused_grad_hess_batched(Bf, s, yv, w, cheap=False, cb=None, fits=None,
+                            active=None):
     """Fused logistic gradient and Gauss-Newton Hessian, batched.
 
     The batch is a grid dimension (NOT vmap: a vmapped pallas_call allocates
@@ -449,12 +483,21 @@ def fused_grad_hess_batched(Bf, s, yv, w, cheap=False, cb=None, fits=None):
     :param fits: traced scalar bool — every tile's band fits its window;
         otherwise the dense kernel runs (a real lax.cond, one branch
         executes).
+    :param active: optional (B,) per-lane activity flag (1 = compute). The
+        Newton driver freezes lanes permanently on convergence and discards
+        their g/H, so frozen lanes skip the MXU passes and the Bf DMA and
+        return zeros instead — chunk batches stop paying gram FLOPs for
+        lanes that converged iterations before the slowest lane.
     :return: ``(g (B, n), H (B, n, n))`` float32.
     """
     B, P, n = Bf.shape
     kernel = _grad_hess_kernel_1pass if cheap else None
     aux = jnp.stack([s, yv, w], axis=1).astype(jnp.float32)  # (B, 3, P)
     Bf = Bf.astype(jnp.float32)
+    if active is None:
+        active = jnp.ones((B,), jnp.int32)
+    else:
+        active = active.astype(jnp.int32)
     nband = nband_for(n)
     use_banded = (cb is not None and fits is not None and nband > 0
                   and not cheap)
@@ -464,30 +507,31 @@ def fused_grad_hess_batched(Bf, s, yv, w, cheap=False, cb=None, fits=None):
     if use_banded:
         banded_kernel = _make_banded_kernel(_gram_dot_full, nband, n // 128)
 
-    def full_gram(Bf_c, aux_c):
+    def full_gram(Bf_c, aux_c, act_c):
         if use_tri:
-            return _tri_grad_hess_call(Bf_c, aux_c)
-        g, H = _fused_grad_hess_call(Bf_c, aux_c, kernel)
+            return _tri_grad_hess_call(Bf_c, aux_c, act_c)
+        g, H = _fused_grad_hess_call(Bf_c, aux_c, act_c, kernel)
         return g[:, 0, :], H
 
-    def one_chunk(Bf_c, aux_c, cb_c):
+    def one_chunk(Bf_c, aux_c, cb_c, act_c):
         if not use_banded:
-            return full_gram(Bf_c, aux_c)
+            return full_gram(Bf_c, aux_c, act_c)
         return jax.lax.cond(
             fits,
             lambda args: _banded_grad_hess_call(args[0], args[1], args[2],
-                                                nband, banded_kernel),
-            lambda args: full_gram(args[0], args[1]),
-            (Bf_c, aux_c, cb_c))
+                                                args[3], nband, banded_kernel),
+            lambda args: full_gram(args[0], args[1], args[3]),
+            (Bf_c, aux_c, cb_c, act_c))
 
     bc = _batch_chunk(n)
     if bc >= B:
-        return one_chunk(Bf, aux, cb)
+        return one_chunk(Bf, aux, cb, active)
     gs, Hs = [], []
     for start in range(0, B, bc):
         end = min(start + bc, B)
         g, H = one_chunk(Bf[start:end], aux[start:end],
-                         None if cb is None else cb[start:end])
+                         None if cb is None else cb[start:end],
+                         active[start:end])
         gs.append(g)
         Hs.append(H)
     return jnp.concatenate(gs, axis=0), jnp.concatenate(Hs, axis=0)

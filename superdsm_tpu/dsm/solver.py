@@ -327,46 +327,53 @@ def _solve_batch_impl(params0, Q, G, yv, w, alpha, epsilon, kmask, maxiter, tol,
                 sub[..., 0].astype(jnp.float32), kmask,
                 float(cutoff), n_total, tp)
 
-    def grad_hess_b(s, cheap=False):
+    def grad_hess_b(s, active, cheap=False):
         if use_pallas:
             return fused_grad_hess_batched(Bf, s, yv, w, cheap=cheap,
-                                           cb=cb, fits=fits)
+                                           cb=cb, fits=fits, active=active)
         return jax.vmap(_data_grad_hess)(Bf, s, yv, w)
 
     def cond(state):
-        it, params, conv, fval, mu, s = state
+        it, params, conv, fval, mu, s, it_lane = state
         return (it < maxiter) & (~jnp.all(conv))
 
     def body(state):
-        it, params, conv, fval, mu, s = state
+        it, params, conv, fval, mu, s, it_lane = state
+        # frozen lanes skip the gram MXU/DMA work in the Pallas kernels;
+        # their g/H come back zero, which only feeds the masked-out step
+        # below (every downstream op is per-lane), so active-lane
+        # trajectories are bitwise unchanged
+        act = (~conv).astype(jnp.int32)
         if use_pallas and HYBRID_ITERS > 0:
             g_b, H_b = jax.lax.cond(it < HYBRID_ITERS,
-                                    lambda s_: grad_hess_b(s_, cheap=True),
-                                    lambda s_: grad_hess_b(s_),
+                                    lambda s_: grad_hess_b(s_, act, cheap=True),
+                                    lambda s_: grad_hess_b(s_, act),
                                     s)
         else:
-            g_b, H_b = grad_hess_b(s)
+            g_b, H_b = grad_hess_b(s, act)
         new_params, new_s, new_f, new_conv, new_mu = step(
             params, mu, s, fval, g_b, H_b, Bf, yv, w, alpha, epsilon, kmask, tol)
         params = jnp.where(conv[:, None], params, new_params)
         s = jnp.where(conv[:, None], s, new_s)
         fval = jnp.where(conv, fval, new_f)
         mu = jnp.where(conv, mu, new_mu)
+        it_lane = jnp.where(conv, it_lane, it + 1)
         conv = conv | new_conv
-        return it + 1, params, conv, fval, mu, s
+        return it + 1, params, conv, fval, mu, s, it_lane
 
     s0 = jnp.einsum('bpi,bi->bp', Bf, params0, precision=HIGHEST)
     f0 = jax.vmap(_energy_from_surface, in_axes=(0, 0, 0, 0, 0, None, 0))(
         s0, params0[:, 6:], yv, w, alpha, epsilon, kmask)
     state = (jnp.int32(0), params0, jnp.zeros(B, bool), f0,
-             jnp.full(B, 1e-6, params0.dtype), s0)
-    it, params, conv, fval, mu, s = jax.lax.while_loop(cond, body, state)
+             jnp.full(B, 1e-6, params0.dtype), s0, jnp.zeros(B, jnp.int32))
+    it, params, conv, fval, mu, s, it_lane = jax.lax.while_loop(
+        cond, body, state)
 
     # exact final energies and surfaces at the solution
     s_final = jnp.einsum('bpi,bi->bp', Bf, params, precision=HIGHEST)
     f_final = jax.vmap(_energy_from_surface, in_axes=(0, 0, 0, 0, 0, None, 0))(
         s_final, params[:, 6:], yv, w, alpha, epsilon, kmask)
-    return params, f_final, conv, it, s_final
+    return params, f_final, conv, it, s_final, it_lane
 
 
 @functools.partial(jax.jit, static_argnames=('tol',))
@@ -414,8 +421,8 @@ def solve_polynomial_batch(coords, yv, w, params0=None, alpha=0.0,
         params0 = jnp.asarray(params0, jnp.float32)
     alpha_arr = jnp.full((B,), alpha, jnp.float32)
     kmask0 = jnp.zeros((B, 0), jnp.float32)
-    params, f, conv, it, s = _solve_poly(params0, coords, yv, w, alpha_arr, kmask0,
-                                         int(maxiter), float(tol))
+    params, f, conv, it, s, _itl = _solve_poly(params0, coords, yv, w, alpha_arr,
+                                               kmask0, int(maxiter), float(tol))
     return SolverResult(np.asarray(params), np.asarray(f), np.asarray(conv),
                         int(it), np.asarray(s))
 
@@ -431,7 +438,7 @@ def solve_dsm_batch(coords, pix, sub, kmask, yv, w, params0, alpha, epsilon,
     :param params0: (B, 6+K) initialization.
     :param sigma/cutoff: Gaussian smoothing params (static; shared per call).
     """
-    params, f, conv, it, s = _solve_full(
+    params, f, conv, it, s, _itl = _solve_full(
         jnp.asarray(params0, jnp.float32), jnp.asarray(coords, jnp.float32),
         jnp.asarray(pix, jnp.float32), jnp.asarray(sub, jnp.float32),
         jnp.asarray(yv, jnp.float32), jnp.asarray(w, jnp.float32),
@@ -503,7 +510,7 @@ def _solve_poly_packed(pix, off, cnt, yq, yscale, denom, params0, maxiter, tol):
     s_init = jnp.einsum('bpi,bi->bp', Q, params0, precision=HIGHEST)
     f_init = jnp.sum(w * jax.nn.softplus(-yv * s_init), axis=1)
     start = _better_of(Q, yv, w, params0, _lsq_init(Q, yv, w))
-    params, f, conv, it, s = _solve_batch_impl(start, Q, None, yv, w, alpha,
+    params, f, conv, it, s, it_lane = _solve_batch_impl(start, Q, None, yv, w, alpha,
                                                1.0, kmask0, maxiter, tol)
     # like the reference, only a NON-converged solve that ended worse than
     # its initialization falls back (status 'unknown' gate, objects.py:404);
@@ -513,7 +520,7 @@ def _solve_poly_packed(pix, off, cnt, yq, yscale, denom, params0, maxiter, tol):
     f = jnp.where(bad, f_init, f)
     s = jnp.where(bad[:, None], s_init, s)
     fg = _packbits_fg((s > 0) & (w > 0))
-    return params, f, conv, bad, fg, it
+    return params, f, conv, bad, fg, it_lane
 
 
 @functools.partial(jax.jit, static_argnames=('tol', 'sigma', 'cutoff'))
@@ -543,7 +550,7 @@ def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_wa
     kmask0 = jnp.zeros((B, 0), jnp.float32)
 
     def _run_ell(_):
-        p_ell, f_ell, _, _, _ = _solve_batch_impl(
+        p_ell, f_ell, _, _, _, _ = _solve_batch_impl(
             _lsq_init(Q, yv, w), Q, None, yv, w,
             jnp.zeros(B, jnp.float32), 1.0, kmask0, maxiter, tol)
         return p_ell, f_ell
@@ -578,7 +585,7 @@ def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_wa
     # reduce full-resolution iterations — the iteration count is dominated
     # by the logistic creep, which resumes at full resolution no matter how
     # good the start is — and the extra phase cost a net ~10%. Reverted.
-    params, f, conv, it, s = _solve_batch_impl(params0, Q, G, yv, w, alpha,
+    params, f, conv, it, s, it_lane = _solve_batch_impl(params0, Q, G, yv, w, alpha,
                                                epsilon, kmask, maxiter, tol,
                                                band_inputs=(pixf, sub, cutoff))
     # fallback only for non-converged-and-worse or non-finite solves,
@@ -589,7 +596,7 @@ def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_wa
     f = jnp.where(bad, f_init, f)
     s = jnp.where(bad[:, None], s_init, s)
     fg = _packbits_fg((s > 0) & (w > 0))
-    return params, f, f_ell, conv, bad, fg, it
+    return params, f, f_ell, conv, bad, fg, it_lane
 
 
 def _pack_poly_group(problems, img_shape, params0=None,

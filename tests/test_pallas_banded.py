@@ -137,10 +137,11 @@ def test_triangle_matches_full_dense_and_reference():
     yv = np.sign(rng.randn(B, P)).astype(np.float32)
     w = rng.rand(B, P).astype(np.float32)
 
+    act = jnp.ones((B,), jnp.int32)
     g_tri, H_tri = pk._tri_grad_hess_call(
-        jnp.asarray(Bf), jnp.stack([s, yv, w], axis=1))
+        jnp.asarray(Bf), jnp.stack([s, yv, w], axis=1), act)
     g_dense, H_dense = pk._fused_grad_hess_call(
-        jnp.asarray(Bf), jnp.stack([s, yv, w], axis=1))
+        jnp.asarray(Bf), jnp.stack([s, yv, w], axis=1), act)
     np.testing.assert_array_equal(np.asarray(g_tri),
                                   np.asarray(g_dense[:, 0, :]))
     np.testing.assert_allclose(np.asarray(H_tri), np.asarray(H_dense),
@@ -174,3 +175,37 @@ def test_band_detects_misfit():
         jnp.asarray(PIX[..., 0]), jnp.asarray(W),
         jnp.asarray(SUB_shuf[..., 0]), jnp.asarray(KM), 8.0, n, tp)
     assert not bool(fits)
+
+
+def test_frozen_lanes_skip_but_active_lanes_bitwise_unchanged():
+    """The per-lane activity flag (``active=``) must leave active lanes
+    bitwise identical to the all-active call (the solver's trajectory
+    invariant) and zero out frozen lanes, in all three kernels: dense,
+    triangle-blocked, and banded."""
+    Bf1, s1, yv1, W1, PIX, SUB, KM, n, k, npix = _make_band_problem(seed=3)
+    # two-lane batch: lane 0 = the band problem, lane 1 = a copy with
+    # different data (so a cross-lane mixup would be caught)
+    Bf = np.concatenate([Bf1, Bf1[::-1] * 0.5], axis=0)
+    s = np.concatenate([s1, s1 * -0.7], axis=0)
+    yv = np.concatenate([yv1, -yv1], axis=0)
+    W = np.concatenate([W1, W1], axis=0)
+    args = tuple(map(jnp.asarray, (Bf, s, yv, W)))
+
+    P = Bf.shape[1]
+    tp = pk._tile_rows(P, n)
+    cb, fits = pk.compute_band_blocks(
+        jnp.asarray(np.concatenate([PIX[..., 0]] * 2)),
+        jnp.asarray(W), jnp.asarray(np.concatenate([SUB[..., 0]] * 2)),
+        jnp.asarray(np.concatenate([KM] * 2)), 8.0, n, tp)
+
+    for kwargs in (dict(),                      # dense/triangle path
+                   dict(cb=cb, fits=fits)):     # banded path
+        g_all, H_all = pk.fused_grad_hess_batched(*args, **kwargs)
+        act = jnp.asarray([0, 1], jnp.int32)
+        g_act, H_act = pk.fused_grad_hess_batched(*args, active=act, **kwargs)
+        np.testing.assert_array_equal(np.asarray(g_act[1]),
+                                      np.asarray(g_all[1]))
+        np.testing.assert_array_equal(np.asarray(H_act[1]),
+                                      np.asarray(H_all[1]))
+        assert not np.any(np.asarray(g_act[0]))
+        assert not np.any(np.asarray(H_act[0]))
