@@ -164,8 +164,14 @@ def _batch_shape(n_problems, pb, kind='dsm'):
     (they converge immediately but still occupy batch rows in every op), so
     a shape ladder beats the former two-shape (1, cap) scheme; the extra
     compiles are one-time via the persistent compilation cache."""
+    return _pow2_ceil(min(n_problems, _b_cap(pb, kind)))
+
+
+def _pow2_ceil(m):
+    """Smallest power of two >= m (the ladder's padding rule — keep
+    :func:`_batch_shape` and :func:`_dsm_chunk_sizes` in lockstep)."""
     b = 1
-    while b < min(n_problems, _b_cap(pb, kind)):
+    while b < m:
         b *= 2
     return b
 
@@ -176,7 +182,7 @@ def _batch_shape(n_problems, pb, kind='dsm'):
 _SPLIT_MIN_WORK = 6e8
 
 
-def _dsm_chunk_sizes(n, cap, pb, kb, min_b=1):
+def _dsm_chunk_sizes(n, cap, pb, kb, min_b=1, on_cpu=None):
     """Chunk sizes for an ``n``-problem ``(pb, kb)`` DSM group.
 
     Full-cap chunks followed by the remainder. The remainder pads to a power
@@ -198,17 +204,18 @@ def _dsm_chunk_sizes(n, cap, pb, kb, min_b=1):
     if n <= 0:
         return sizes
 
-    def pow2(m):
-        b = 1
-        while b < m:
-            b *= 2
-        return b
-
-    padded = pow2(n)
-    if min_b == 1 and pb * (6 + kb) ** 2 >= _SPLIT_MIN_WORK and padded > n:
+    padded = _pow2_ceil(n)
+    # the explicit _on_cpu() guard (not just the work gate) pins the exact
+    # CPU regression goldens against future B_CAP_CPU tuning: large CPU
+    # shapes pass the work gate, and a CPU batch-composition change is only
+    # ~1e-4-equal (test_chunk_composition_invariance)
+    if on_cpu is None:
+        on_cpu = _on_cpu()
+    if (min_b == 1 and not on_cpu
+            and pb * (6 + kb) ** 2 >= _SPLIT_MIN_WORK and padded > n):
         lo = padded // 2  # largest power of two below n (n is not a pow2)
         rest = n - lo
-        saved = padded - (lo + pow2(rest))
+        saved = padded - (lo + _pow2_ceil(rest))
         if saved >= 4 and saved * 4 >= padded:
             sizes += [lo, rest]
             return sizes

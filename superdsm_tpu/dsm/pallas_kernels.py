@@ -191,15 +191,29 @@ _FORCE_INTERPRET = False
 TRI_GRAM = os.environ.get('SDSM_GRAM_TRI', '1') == '1'
 
 
-def _make_tri_kernel(gram_dot, nbg):
-    """Triangle-blocked dense gram kernel: grid (B, P//tp); all ``nbg``
-    128-column groups participate, H computed as u <= v block pairs with the
-    lower triangle mirrored by transpose. Outputs use the same block layout
-    as the banded kernel — g (B, nbg, 1, 128), H (B, nbg, nbg, 128, 128) —
-    reshaped back by the caller."""
-    def kernel(act_ref, aux_ref, *refs):
-        bf_blocks = refs[:nbg]
-        g_ref, h_ref = refs[nbg], refs[nbg + 1]
+def _make_block_gram_kernel(gram_dot, ngroups, banded):
+    """Shared body of the triangle-blocked and banded gram kernels.
+
+    Grid (B, P//tp); per tile, ``ngroups`` 128-column groups participate and
+    H is computed as u <= v block pairs with the lower triangle mirrored by
+    transpose (H is symmetric up to which operand carries kappa — the
+    transposed blocks match the straight dots to rounding, the backend-noise
+    class pinned by the validation harness). ``bidx`` maps loaded blocks to
+    output block indices: identity for the triangle kernel, block 0 plus the
+    scalar-prefetched band offset for the banded kernel. Outputs are stored
+    in block layout — g (B, nbg, 1, 128), H (B, nbg, nbg, 128, 128) —
+    because Mosaic supports dynamic indices on untiled leading dimensions,
+    not dynamic lane-dim stores; the caller reshapes back.
+
+    ``act_ref`` is the scalar-prefetched per-lane activity flag: frozen
+    (converged) lanes skip all compute and keep the zero-init outputs (see
+    ``fused_grad_hess_batched``)."""
+    def kernel(act_ref, *args):
+        if banded:
+            cb_ref, args = args[0], args[1:]
+        aux_ref = args[0]
+        bf_blocks = args[1:1 + ngroups]
+        g_ref, h_ref = args[1 + ngroups], args[2 + ngroups]
         b = pl.program_id(0)
         i = pl.program_id(1)
 
@@ -218,21 +232,34 @@ def _make_tri_kernel(gram_dot, nbg):
             term1 = -yv * sig * w
             kappa = w * yv * yv * sig * (1.0 - sig)
 
-            blocks = [bf_blocks[u][0] for u in range(nbg)]        # (tp, 128)
+            if banded:
+                c0 = cb_ref[b, i]
+                bidx = [0] + [c0 + k for k in range(ngroups - 1)]
+            else:
+                bidx = list(range(ngroups))
+            blocks = [bf_blocks[u][0] for u in range(ngroups)]      # (tp, 128)
             scaled = [blk * kappa[:, None] for blk in blocks]
-            for u in range(nbg):
+            for u in range(ngroups):
                 gpart = jnp.dot(term1[None, :], blocks[u],
                                 precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32)  # (1, 128)
-                g_ref[0, u] = g_ref[0, u] + gpart
-                for v in range(u, nbg):
+                g_ref[0, bidx[u]] = g_ref[0, bidx[u]] + gpart
+                for v in range(u, ngroups):
                     hpart = gram_dot(scaled[u], blocks[v])           # (128, 128)
-                    h_ref[0, u, v] = h_ref[0, u, v] + hpart
+                    h_ref[0, bidx[u], bidx[v]] = \
+                        h_ref[0, bidx[u], bidx[v]] + hpart
                     if v != u:
-                        h_ref[0, v, u] = h_ref[0, v, u] + hpart.T
+                        h_ref[0, bidx[v], bidx[u]] = \
+                            h_ref[0, bidx[v], bidx[u]] + hpart.T
         return
 
     return kernel
+
+
+def _make_tri_kernel(gram_dot, nbg):
+    """Triangle-blocked dense gram kernel: all ``nbg`` column groups
+    participate with identity block mapping."""
+    return _make_block_gram_kernel(gram_dot, nbg, banded=False)
 
 
 def _tri_grad_hess_call(Bf, aux, active, gram_dot=None):
@@ -277,58 +304,9 @@ def _tri_grad_hess_call(Bf, aux, active, gram_dot=None):
 
 
 def _make_banded_kernel(gram_dot, nband, nbg):
-    """Banded gram kernel: grid (B, P//tp); per tile, only ``nband + 1``
-    128-column groups participate (group 0 fixed, the rest at the
-    scalar-prefetched block offset). Outputs are stored in block layout —
-    g (B, nbg, 1, 128), H (B, nbg, nbg, 128, 128) — because Mosaic supports
-    dynamic indices on untiled leading dimensions, not dynamic lane-dim
-    stores; the caller reshapes back to (B, n) / (B, n, n)."""
-    ngroups = nband + 1
-
-    def kernel(act_ref, cb_ref, aux_ref, *refs):
-        bf_blocks = refs[:ngroups]
-        g_ref, h_ref = refs[ngroups], refs[ngroups + 1]
-        b = pl.program_id(0)
-        i = pl.program_id(1)
-
-        @pl.when(i == 0)
-        def _():
-            g_ref[0] = jnp.zeros_like(g_ref[0])
-            h_ref[0] = jnp.zeros_like(h_ref[0])
-
-        @pl.when(act_ref[b] != 0)
-        def _():
-            s = aux_ref[0, 0, :]
-            yv = aux_ref[0, 1, :]
-            w = aux_ref[0, 2, :]
-            t = yv * s
-            sig = jax.nn.sigmoid(-t)
-            term1 = -yv * sig * w
-            kappa = w * yv * yv * sig * (1.0 - sig)
-
-            c0 = cb_ref[b, i]
-            bidx = [0] + [c0 + k for k in range(nband)]
-            blocks = [bf_blocks[u][0] for u in range(ngroups)]      # (tp, 128)
-            scaled = [blk * kappa[:, None] for blk in blocks]
-            for u in range(ngroups):
-                gpart = jnp.dot(term1[None, :], blocks[u],
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32)  # (1, 128)
-                g_ref[0, bidx[u]] = g_ref[0, bidx[u]] + gpart
-                for v in range(u, ngroups):
-                    hpart = gram_dot(scaled[u], blocks[v])           # (128, 128)
-                    h_ref[0, bidx[u], bidx[v]] = \
-                        h_ref[0, bidx[u], bidx[v]] + hpart
-                    if v != u:
-                        # H is symmetric up to which operand carries kappa;
-                        # the transpose matches the dense kernel to rounding
-                        # (the backend-noise class pinned by the validation
-                        # harness)
-                        h_ref[0, bidx[v], bidx[u]] = \
-                            h_ref[0, bidx[v], bidx[u]] + hpart.T
-        return
-
-    return kernel
+    """Banded gram kernel: only ``nband + 1`` column groups participate
+    (group 0 fixed, the rest at the scalar-prefetched block offset)."""
+    return _make_block_gram_kernel(gram_dot, nband + 1, banded=True)
 
 
 def _banded_grad_hess_call(Bf, aux, cb, active, nband, kernel):
@@ -502,8 +480,12 @@ def fused_grad_hess_batched(Bf, s, yv, w, cheap=False, cb=None, fits=None,
     use_banded = (cb is not None and fits is not None and nband > 0
                   and not cheap)
     # full-width gram when no band applies (and the fits=False branch of the
-    # banded cond): triangle-blocked when the symmetry saves MXU passes
-    use_tri = TRI_GRAM and not cheap and n % 128 == 0 and n // 128 >= 2
+    # banded cond): triangle-blocked when the symmetry saves MXU passes.
+    # Bounded at nbg <= 8 (n <= 1024): the kernel body unrolls
+    # nbg(nbg+1)/2 block dots + mirrors, so n = 2048 would mean a 136-dot
+    # Mosaic program — an unmeasured compile-time/VMEM class; the single-dot
+    # dense kernel keeps covering it
+    use_tri = TRI_GRAM and not cheap and n % 128 == 0 and 2 <= n // 128 <= 8
     if use_banded:
         banded_kernel = _make_banded_kernel(_gram_dot_full, nband, n // 128)
 

@@ -448,7 +448,11 @@ def test_solve_timeout_disarmed_on_first_run_shapes(monkeypatch):
 def test_dsm_chunk_sizes_policy():
     """Tail-chunk splitting: only on compute-bound shapes, only when the
     padded-row saving is material, never under a pipeline mesh."""
-    from superdsm_tpu.dsm.batching import _dsm_chunk_sizes
+    import functools
+    from superdsm_tpu.dsm.batching import _dsm_chunk_sizes as _sizes
+
+    # accelerator regime (the policy under test); CPU checked separately
+    _dsm_chunk_sizes = functools.partial(_sizes, on_cpu=False)
 
     # 19 pads to 32; 16 + pad(3)=4 saves 12 rows on a compute-bound shape
     assert _dsm_chunk_sizes(19, 32, 12288, 250) == [16, 3]
@@ -465,6 +469,9 @@ def test_dsm_chunk_sizes_policy():
     assert _dsm_chunk_sizes(19, 32, 12288, 250, min_b=8) == [19]
     # exact powers of two are untouched
     assert _dsm_chunk_sizes(16, 32, 12288, 250) == [16]
+    # CPU never splits regardless of shape (pins the exact CPU goldens
+    # against future B_CAP_CPU tuning)
+    assert _sizes(19, 32, 32768, 506, on_cpu=True) == [19]
 
 
 def test_chunk_composition_invariance():
