@@ -803,8 +803,8 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
     _t_fetch = _time.time()
     # fetch only the leaves the caller consumes — through a remote-device
     # tunnel every transferred byte (and every leaf round trip) is latency.
-    # outs layouts: poly (params, f, conv, bad, fg, it);
-    #               dsm (params, f, f_ell, conv, bad, fg, it).
+    # outs layouts: poly (params, f, conv, bad, fg, it_lane);
+    #               dsm (params, f, f_ell, conv, bad, fg, it_lane).
     # ``conv``/``f_ell``/``it`` are device-side intermediates, fetched only
     # for telemetry.
     _idx = {'poly': dict(f=1, bad=3, fg=4, it=5),

@@ -497,7 +497,7 @@ def unpack_fg(fg_packed, n_pixels):
 @functools.partial(jax.jit, static_argnames=('tol',))
 def _solve_poly_packed(pix, off, cnt, yq, yscale, denom, params0, maxiter, tol):
     """Packed 6-parameter solve; returns (params, energy, conv, bad, fg uint8,
-    iterations).
+    per-lane convergence iterations).
 
     ``bad`` mirrors the reference's fallback rule
     (``/root/reference/superdsm/objects.py:394-411``): a solve that ends
@@ -531,7 +531,7 @@ def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_wa
     The full solve starts from the better of the elliptical solution and the
     optional warm start (parent solution from the generation loop).
     Returns (params, energy, energy_elliptical, conv, bad, fg uint8,
-    iterations), where
+    per-lane convergence iterations), where
     ``bad`` marks problems whose solve ended non-finite or worse than the
     initialization — those rows are restored to the initialization on device,
     mirroring the reference's fallback semantics
