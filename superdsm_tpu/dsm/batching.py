@@ -295,27 +295,43 @@ def _warmup_shapes(include_observed=False):
 
 
 def _warmup_job(kind, pb, kb, Bp, maxiter, tol, sigma, cutoff):
-    """Returns ``(jitted_fn, args)`` for one warmup shape (dummy inputs)."""
-    from .solver import _solve_poly_packed, _solve_dsm_packed
+    """Returns ``(jitted_fn, args)`` for one warmup shape (dummy inputs).
+
+    ``kind`` selects the program: ``poly``/``dsm`` take int16 coordinate
+    pairs, ``poly-m``/``dsm-m`` the bit-packed mask transfers (the variant
+    accelerator backends dispatch for every region whose bbox fits)."""
+    from .solver import (_solve_poly_packed, _solve_dsm_packed,
+                         _solve_poly_packed_mask, _solve_dsm_packed_mask,
+                         MASK_BITS_PER_PIXEL)
     rng = np.random.RandomState(0)
-    PIXa = rng.randint(0, 50, (Bp, pb, 2)).astype(np.int16)
     OFF = np.zeros((Bp, 2), np.int32)
     CNT = np.full(Bp, pb, np.int32)
     YQ = rng.randint(-32767, 32767, (Bp, pb)).astype(np.int16)
     YS = np.ones(Bp, np.float32)
     denom = np.array([63.0, 63.0], np.float32)
-    if kind == 'poly':
-        return _solve_poly_packed, (PIXa, OFF, CNT, YQ, YS, denom,
-                                    np.zeros((Bp, 6), np.float32),
-                                    int(maxiter), float(tol))
-    return _solve_dsm_packed, (PIXa, OFF, CNT, YQ, YS, denom,
-                               rng.randint(0, 50, (Bp, kb, 2)).astype(np.int16),
-                               np.ones((Bp, kb), np.float32),
-                               np.zeros((Bp, 6 + kb), np.float32),
-                               np.zeros(Bp, bool),
-                               np.full(Bp, 0.1, np.float32), 1.0,
-                               int(maxiter), float(tol), float(sigma),
-                               int(cutoff))
+    if kind.endswith('-m'):
+        nbits = pb * MASK_BITS_PER_PIXEL
+        bits = np.zeros((Bp, nbits), np.uint8)
+        bits[:, rng.choice(nbits, pb, replace=False)] = 1
+        MB = np.packbits(bits, axis=1)
+        WDT = np.full(Bp, 64, np.int32)
+        head = (MB, WDT)
+    else:
+        head = (rng.randint(0, 50, (Bp, pb, 2)).astype(np.int16),)
+    if kind.startswith('poly'):
+        fn = _solve_poly_packed_mask if kind.endswith('-m') else _solve_poly_packed
+        return fn, (*head, OFF, CNT, YQ, YS, denom,
+                    np.zeros((Bp, 6), np.float32),
+                    int(maxiter), float(tol))
+    fn = _solve_dsm_packed_mask if kind.endswith('-m') else _solve_dsm_packed
+    return fn, (*head, OFF, CNT, YQ, YS, denom,
+                rng.randint(0, 50, (Bp, kb, 2)).astype(np.int16),
+                np.ones((Bp, kb), np.float32),
+                np.zeros((Bp, 6 + kb), np.float32),
+                np.zeros(Bp, bool),
+                np.full(Bp, 0.1, np.float32), 1.0,
+                int(maxiter), float(tol), float(sigma),
+                int(cutoff))
 
 
 def warmup(shapes=None, maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, sigma=4.0,
@@ -403,10 +419,48 @@ class Problem:
     #: 1/factor is equivalent to scaling alpha by 1/factor, which keeps the
     #: minimizer of the subsampled energy aligned with the full energy.
     alpha_scale: float = 1.0
+    #: Crop (bbox) shape of the region mask; derived from the coordinate
+    #: extent when not provided. Basis of the bit-packed mask transfer
+    #: format (``solver._mask_to_pix``).
+    crop_shape: Optional[tuple] = None
 
     @property
     def n_pixels(self):
         return len(self.pts)
+
+    def _crop_shape(self):
+        if self.crop_shape is None:
+            # make_problem crops to the mask bbox, so the coordinate extent
+            # IS the crop shape; hand-built problems may be looser, which
+            # only makes the fit check conservative
+            self.crop_shape = (int(self.pts[:, 0].max()) + 1,
+                               int(self.pts[:, 1].max()) + 1)
+        return self.crop_shape
+
+    @property
+    def crop_area(self):
+        h, w = self._crop_shape()
+        return h * w
+
+    @property
+    def packed_mask(self):
+        """Row-major bit-packed region mask over the crop bbox (cached).
+        ``np.unpackbits`` of it at the crop width reproduces ``pts`` exactly
+        (``solver._mask_to_pix`` is the device-side inverse)."""
+        pm = getattr(self, '_packed_mask', None)
+        if pm is None:
+            h, w = self._crop_shape()
+            m = np.zeros(h * w, bool)
+            m[self.pts[:, 0].astype(np.int64) * w + self.pts[:, 1]] = True
+            pm = np.packbits(m)
+            self._packed_mask = pm
+        return pm
+
+    def fits_mask(self, pb):
+        """Whether the bit-packed mask transfer can carry this problem at
+        pixel bucket ``pb`` (bbox bits within the buffer capacity)."""
+        from .solver import MASK_BITS_PER_PIXEL
+        return self.crop_area <= pb * MASK_BITS_PER_PIXEL
 
     @property
     def n_deform(self):
@@ -488,7 +542,7 @@ def make_problem(region, img_shape=None, smooth_amount=np.inf,
         sub = prepare_deformation(mask_crop, smooth_amount,
                                   gaussian_shape_multiplier, stride)
     return Problem(pts=pts, offset=offset, img_shape=tuple(img_shape), yv=yv,
-                   sub=sub, tag=tag)
+                   sub=sub, tag=tag, crop_shape=tuple(mask_crop.shape))
 
 
 class SolveTimeout(Exception):
@@ -721,18 +775,40 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
     placer, min_b = _make_placer()
     pending = []  # (kind, chunk, device outputs)
     dispatched_shapes = []
+    # Transfer-format routing: on accelerator backends problems whose bbox
+    # fits the bit-packed mask buffer (virtually all of them — measured
+    # bbox/pixel ratios 1.9-3.7 vs capacity 4) ship as masks, 8x smaller
+    # than coordinate pairs through the ~50 MB/s tunnel; the rest (typically
+    # pixel-subsampled oversized regions) keep the coordinate path. The
+    # rebuilt coordinates are identical, so results are bitwise unchanged.
+    # CPU keeps the coordinate path: transfers are free there and the exact
+    # CPU regression goldens stay pinned to one program structure.
+    mask_capable = not _on_cpu()
+
+    def _variants(idxs, pb):
+        if not mask_capable:
+            return ((idxs, False),) if idxs else ()
+        fit = [i for i in idxs if problems[i].fits_mask(pb)]
+        nofit = [i for i in idxs if not problems[i].fits_mask(pb)]
+        return tuple((lst, um) for lst, um in ((fit, True), (nofit, False))
+                     if lst)
+
     for pb, idxs in sorted(poly_groups.items()):
         bmax = _b_cap(pb, 'poly')
-        for chunk_start in range(0, len(idxs), bmax):
-            chunk = idxs[chunk_start: chunk_start + bmax]
-            Bp = max(_batch_shape(len(chunk), pb, 'poly'), min_b)
-            dispatched_shapes.append(('poly', pb, 0, Bp))
-            inits = [problems[i].init_params for i in chunk]
-            outs = _pack_poly_group([problems[i] for i in chunk], img_shape,
-                                    params0=inits, maxiter=maxiter, tol=tol,
-                                    pb=pb, Bp=Bp, placer=placer)
-            pending.append(('poly', chunk, outs))
+        for vidxs, use_mask in _variants(idxs, pb):
+            for chunk_start in range(0, len(vidxs), bmax):
+                chunk = vidxs[chunk_start: chunk_start + bmax]
+                Bp = max(_batch_shape(len(chunk), pb, 'poly'), min_b)
+                dispatched_shapes.append(
+                    ('poly-m' if use_mask else 'poly', pb, 0, Bp))
+                inits = [problems[i].init_params for i in chunk]
+                outs = _pack_poly_group([problems[i] for i in chunk], img_shape,
+                                        params0=inits, maxiter=maxiter, tol=tol,
+                                        pb=pb, Bp=Bp, placer=placer,
+                                        use_mask=use_mask)
+                pending.append(('poly', chunk, outs))
 
+    from .solver import (_solve_dsm_packed_mask, MASK_BITS_PER_PIXEL)
     for (pb, kb), idxs in sorted(dsm_groups.items()):
         # cold problems first: warm-started lanes converge in far fewer
         # iterations and freeze individually, so sorting packs the warm
@@ -743,52 +819,78 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
         idxs.sort(key=lambda i: (problems[i].init_params is not None,
                                  problems[i].n_pixels))
         bmax = _b_cap(pb)
-        chunk_start = 0
-        for size in _dsm_chunk_sizes(len(idxs), bmax, pb, kb, min_b):
-            chunk = idxs[chunk_start: chunk_start + size]
-            chunk_start += size
-            Bp = max(_batch_shape(len(chunk), pb), min_b)
-            dispatched_shapes.append(('dsm', pb, kb, Bp))
-            PIXa = np.zeros((Bp, pb, 2), np.int16)
-            OFF = np.zeros((Bp, 2), np.int32)
-            CNT = np.zeros((Bp,), np.int32)
-            YQ = np.zeros((Bp, pb), np.int16)
-            YS = np.zeros((Bp,), np.float32)
-            SUB = np.full((Bp, kb, 2), -10 * (cutoff + 1), np.int16)
-            KM = np.zeros((Bp, kb), np.float32)
-            WARM = np.zeros((Bp, 6 + kb), np.float32)
-            USE_WARM = np.zeros((Bp,), bool)
-            for j, i in enumerate(chunk):
-                p = problems[i]
-                npix, k = p.n_pixels, p.n_deform
-                PIXa[j, :npix] = p.pts
-                OFF[j] = p.offset
-                CNT[j] = npix
-                YQ[j, :npix] = p.yq
-                YS[j] = p.yscale
-                SUB[j, :k] = p.sub
-                KM[j, :k] = 1.0
-                if p.init_params is not None:
-                    WARM[j, :6 + k] = p.init_params
-                    USE_WARM[j] = True
-            # padding rows (CNT=0, result unused) must not defeat the
-            # all-warm elliptical skip inside _solve_dsm_packed
-            USE_WARM[len(chunk):] = USE_WARM[:len(chunk)].all()
-            ALPHA = np.full(Bp, alpha, np.float32)
-            for j, i in enumerate(chunk):
-                ALPHA[j] *= problems[i].alpha_scale
-            if placer is not None:
-                PIXa, OFF, CNT, YQ, YS, SUB, KM, WARM, USE_WARM, ALPHA = map(
-                    placer, (PIXa, OFF, CNT, YQ, YS, SUB, KM, WARM, USE_WARM,
-                             ALPHA))
-            outs = _solve_dsm_packed(
-                PIXa, OFF, CNT, YQ, YS, denom, SUB, KM, WARM, USE_WARM,
-                ALPHA, float(epsilon),
-                int(maxiter), float(tol), float(smooth_amount), int(cutoff))
-            pending.append(('dsm', chunk, outs))
-            if out is not None:
-                out.intermediate(f'{progress_line}... dispatched '
-                                 f'{sum(len(c) for _, c, _ in pending)} / {len(problems)}')
+        for vidxs, use_mask in _variants(idxs, pb):
+            chunk_start = 0
+            for size in _dsm_chunk_sizes(len(vidxs), bmax, pb, kb, min_b):
+                chunk = vidxs[chunk_start: chunk_start + size]
+                chunk_start += size
+                Bp = max(_batch_shape(len(chunk), pb), min_b)
+                dispatched_shapes.append(
+                    ('dsm-m' if use_mask else 'dsm', pb, kb, Bp))
+                OFF = np.zeros((Bp, 2), np.int32)
+                CNT = np.zeros((Bp,), np.int32)
+                YQ = np.zeros((Bp, pb), np.int16)
+                YS = np.zeros((Bp,), np.float32)
+                SUB = np.full((Bp, kb, 2), -10 * (cutoff + 1), np.int16)
+                KM = np.zeros((Bp, kb), np.float32)
+                WARM = np.zeros((Bp, 6 + kb), np.float32)
+                USE_WARM = np.zeros((Bp,), bool)
+                if use_mask:
+                    MB = np.zeros((Bp, (pb * MASK_BITS_PER_PIXEL) // 8),
+                                  np.uint8)
+                    WDT = np.ones((Bp,), np.int32)
+                else:
+                    PIXa = np.zeros((Bp, pb, 2), np.int16)
+                for j, i in enumerate(chunk):
+                    p = problems[i]
+                    npix, k = p.n_pixels, p.n_deform
+                    if use_mask:
+                        pm = p.packed_mask
+                        MB[j, :len(pm)] = pm
+                        WDT[j] = p.crop_shape[1]
+                    else:
+                        PIXa[j, :npix] = p.pts
+                    OFF[j] = p.offset
+                    CNT[j] = npix
+                    YQ[j, :npix] = p.yq
+                    YS[j] = p.yscale
+                    SUB[j, :k] = p.sub
+                    KM[j, :k] = 1.0
+                    if p.init_params is not None:
+                        WARM[j, :6 + k] = p.init_params
+                        USE_WARM[j] = True
+                # padding rows (CNT=0, result unused) must not defeat the
+                # all-warm elliptical skip inside _solve_dsm_packed
+                USE_WARM[len(chunk):] = USE_WARM[:len(chunk)].all()
+                ALPHA = np.full(Bp, alpha, np.float32)
+                for j, i in enumerate(chunk):
+                    ALPHA[j] *= problems[i].alpha_scale
+                if use_mask:
+                    if placer is not None:
+                        MB, WDT, OFF, CNT, YQ, YS, SUB, KM, WARM, USE_WARM, \
+                            ALPHA = map(placer, (MB, WDT, OFF, CNT, YQ, YS,
+                                                 SUB, KM, WARM, USE_WARM,
+                                                 ALPHA))
+                    outs = _solve_dsm_packed_mask(
+                        MB, WDT, OFF, CNT, YQ, YS, denom, SUB, KM, WARM,
+                        USE_WARM, ALPHA, float(epsilon),
+                        int(maxiter), float(tol), float(smooth_amount),
+                        int(cutoff))
+                else:
+                    if placer is not None:
+                        PIXa, OFF, CNT, YQ, YS, SUB, KM, WARM, USE_WARM, \
+                            ALPHA = map(placer, (PIXa, OFF, CNT, YQ, YS, SUB,
+                                                 KM, WARM, USE_WARM, ALPHA))
+                    outs = _solve_dsm_packed(
+                        PIXa, OFF, CNT, YQ, YS, denom, SUB, KM, WARM,
+                        USE_WARM, ALPHA, float(epsilon),
+                        int(maxiter), float(tol), float(smooth_amount),
+                        int(cutoff))
+                pending.append(('dsm', chunk, outs))
+                if out is not None:
+                    out.intermediate(
+                        f'{progress_line}... dispatched '
+                        f'{sum(len(c) for _, c, _ in pending)} / {len(problems)}')
 
     _record_shapes(dispatched_shapes)
     # arm the deadline only when every program in the round has completed a

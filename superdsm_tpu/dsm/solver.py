@@ -18,6 +18,7 @@ backtracking line search reuses one matvec for all candidate step sizes.
 """
 
 import functools
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -111,8 +112,13 @@ MU_MAX = 1e6
 
 #: Newton systems larger than this solve by preconditioned CG instead of
 #: Cholesky — TPU Cholesky is a sequential panel algorithm and dominates the
-#: iteration cost at n ~ 500, while CG is pure batched matvecs.
-CHOLESKY_MAX_N = 300
+#: iteration cost at n ~ 500, while CG is pure batched matvecs. Probed on the
+#: real bench chunks (tools/probe_direction_cost.py): batched Cholesky costs
+#: 1.0 ms/iter at (16, 256) vs 0.37 for residual-based PCG, and the
+#: direction solve is ~half the per-Newton-iteration cost — but CG at
+#: n = 256 is a trajectory change for the dominant K=250 buckets, so the
+#: cutover is env-tunable for measured experiments (SDSM_CHOL_MAX_N).
+CHOLESKY_MAX_N = int(os.environ.get('SDSM_CHOL_MAX_N', '300'))
 CG_MAX_ITERS = 64
 CG_RTOL = 1e-5
 
@@ -476,6 +482,54 @@ def _unpack_inputs(pix, off, cnt, yq, yscale, denom):
     return pixf, coords, yv, w
 
 
+#: Bit capacity of the packed-mask transfer buffer, as a multiple of the
+#: pixel bucket: region masks fill 27-52% of their bounding box on real
+#: nuclei data (measured ratios 1.9-3.7), so 4 bits of bbox area per mask
+#: pixel cover every observed problem while the buffer stays 8x smaller
+#: than the int16 coordinate pairs it replaces (pb/2 vs 4*pb bytes).
+#: Problems whose bbox exceeds the capacity (pixel-subsampled oversized
+#: regions) keep the coordinate-transfer path.
+MASK_BITS_PER_PIXEL = 4
+
+
+def _mask_to_pix(mb, wd, cnt, pb):
+    """(B, pb//2) uint8 row-major bit-packed crop masks -> (B, pb, 2) int32
+    crop-local pixel coordinates, exactly ``np.argwhere`` order.
+
+    Inverse of the host's ``np.packbits`` (MSB-first). Rows beyond the
+    per-problem pixel count ``cnt`` decode to (0, 0) — identical to the zero
+    padding of the coordinate-transfer path, so both packed formats produce
+    bitwise the same solver inputs. Replaces the dominant host->device
+    transfer leaf (int16 coordinate pairs, 4 bytes/pixel) with 0.5
+    bytes/pixel through the ~50 MB/s tunnel.
+
+    The compaction (set-bit positions in order) runs as ONE ``lax.sort`` of
+    a keyed iota — measured ~1 ms for (32, 65536) bits, vs ~18 ms for the
+    ``jnp.nonzero(size=)`` lowering and ~8 ms for cumsum+scatter
+    (tools history; the sort is the only variant that does not erase the
+    transfer win)."""
+    B, nbytes = mb.shape
+    nbits = nbytes * 8
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # MSB first (packbits)
+    bits = ((mb[:, :, None] >> shifts[None, None, :]) & 1).astype(jnp.bool_)
+    bits = bits.reshape(B, nbits)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, nbits), 1)
+    keyed = jnp.where(bits, iota, jnp.int32(nbits))  # unset bits sort last
+    idx = jax.lax.sort(keyed, dimension=1)[:, :pb]   # (B, pb)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (B, pb), 1)
+    idx = jnp.where(slot < cnt[:, None], idx, 0)
+    r = idx // wd[:, None]
+    c = idx - r * wd[:, None]
+    return jnp.stack([r, c], axis=-1)
+
+
+def _unpack_inputs_mask(mb, wd, off, cnt, yq, yscale, denom):
+    """Mask-transfer variant of :func:`_unpack_inputs` (same outputs)."""
+    pb = yq.shape[1]
+    pix = _mask_to_pix(mb, wd, cnt, pb)
+    return _unpack_inputs(pix, off, cnt, yq, yscale, denom)
+
+
 def _packbits_fg(fg_bool):
     """Packs a (B, P) boolean foreground into (B, P//8) uint8 on device
     (MSB-first, ``np.unpackbits`` layout). The fg mask is the largest fetch
@@ -494,19 +548,18 @@ def unpack_fg(fg_packed, n_pixels):
     return np.unpackbits(np.asarray(fg_packed), count=n_pixels).astype(bool)
 
 
-@functools.partial(jax.jit, static_argnames=('tol',))
-def _solve_poly_packed(pix, off, cnt, yq, yscale, denom, params0, maxiter, tol):
-    """Packed 6-parameter solve; returns (params, energy, conv, bad, fg uint8,
-    per-lane convergence iterations).
+def _solve_poly_core(coords, yv, w, params0, maxiter, tol):
+    """Shared body of the packed 6-parameter programs; returns (params,
+    energy, conv, bad, fg uint8, per-lane convergence iterations).
 
     ``bad`` mirrors the reference's fallback rule
     (``/root/reference/superdsm/objects.py:394-411``): a solve that ends
     non-finite or worse than the caller's initialization returns the
     initialization instead, and the caller reports status ``'fallback'``."""
-    _, coords, yv, w = _unpack_inputs(pix, off, cnt, yq, yscale, denom)
     Q = _poly_basis(coords)
-    kmask0 = jnp.zeros((pix.shape[0], 0), jnp.float32)
-    alpha = jnp.zeros(pix.shape[0], jnp.float32)
+    B = coords.shape[0]
+    kmask0 = jnp.zeros((B, 0), jnp.float32)
+    alpha = jnp.zeros(B, jnp.float32)
     s_init = jnp.einsum('bpi,bi->bp', Q, params0, precision=HIGHEST)
     f_init = jnp.sum(w * jax.nn.softplus(-yv * s_init), axis=1)
     start = _better_of(Q, yv, w, params0, _lsq_init(Q, yv, w))
@@ -523,10 +576,27 @@ def _solve_poly_packed(pix, off, cnt, yq, yscale, denom, params0, maxiter, tol):
     return params, f, conv, bad, fg, it_lane
 
 
-@functools.partial(jax.jit, static_argnames=('tol', 'sigma', 'cutoff'))
-def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_warm,
-                      alpha, epsilon, maxiter, tol, sigma, cutoff):
-    """Packed combined elliptical + DSM solve (one dispatch).
+@functools.partial(jax.jit, static_argnames=('tol',))
+def _solve_poly_packed(pix, off, cnt, yq, yscale, denom, params0, maxiter, tol):
+    """Packed 6-parameter solve over int16 coordinate-pair transfers."""
+    _, coords, yv, w = _unpack_inputs(pix, off, cnt, yq, yscale, denom)
+    return _solve_poly_core(coords, yv, w, params0, maxiter, tol)
+
+
+@functools.partial(jax.jit, static_argnames=('tol',))
+def _solve_poly_packed_mask(mb, wd, off, cnt, yq, yscale, denom, params0,
+                            maxiter, tol):
+    """Packed 6-parameter solve over bit-packed crop-mask transfers
+    (:func:`_mask_to_pix`); outputs are bitwise those of
+    :func:`_solve_poly_packed` — the rebuilt integer coordinates are
+    identical."""
+    _, coords, yv, w = _unpack_inputs_mask(mb, wd, off, cnt, yq, yscale, denom)
+    return _solve_poly_core(coords, yv, w, params0, maxiter, tol)
+
+
+def _solve_dsm_core(pixf, coords, yv, w, sub, kmask, warm, use_warm,
+                    alpha, epsilon, maxiter, tol, sigma, cutoff):
+    """Shared body of the packed combined elliptical + DSM programs.
 
     The full solve starts from the better of the elliptical solution and the
     optional warm start (parent solution from the generation loop).
@@ -538,8 +608,7 @@ def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_wa
     (``/root/reference/superdsm/objects.py:394-411``).
     """
     from .smooth import build_smooth_matrix
-    pixf, coords, yv, w = _unpack_inputs(pix, off, cnt, yq, yscale, denom)
-    B, P = pix.shape[:2]
+    B, P = pixf.shape[:2]
     K = sub.shape[1]
     Q = _poly_basis(coords)
 
@@ -599,21 +668,56 @@ def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_wa
     return params, f, f_ell, conv, bad, fg, it_lane
 
 
+@functools.partial(jax.jit, static_argnames=('tol', 'sigma', 'cutoff'))
+def _solve_dsm_packed(pix, off, cnt, yq, yscale, denom, sub, kmask, warm, use_warm,
+                      alpha, epsilon, maxiter, tol, sigma, cutoff):
+    """Packed combined elliptical + DSM solve over int16 coordinate pairs
+    (one dispatch); see :func:`_solve_dsm_core`."""
+    pixf, coords, yv, w = _unpack_inputs(pix, off, cnt, yq, yscale, denom)
+    return _solve_dsm_core(pixf, coords, yv, w, sub, kmask, warm, use_warm,
+                           alpha, epsilon, maxiter, tol, sigma, cutoff)
+
+
+@functools.partial(jax.jit, static_argnames=('tol', 'sigma', 'cutoff'))
+def _solve_dsm_packed_mask(mb, wd, off, cnt, yq, yscale, denom, sub, kmask,
+                           warm, use_warm, alpha, epsilon, maxiter, tol,
+                           sigma, cutoff):
+    """Packed combined elliptical + DSM solve over bit-packed crop-mask
+    transfers (:func:`_mask_to_pix`); outputs are bitwise those of
+    :func:`_solve_dsm_packed` — the rebuilt integer coordinates are
+    identical."""
+    pixf, coords, yv, w = _unpack_inputs_mask(mb, wd, off, cnt, yq, yscale,
+                                              denom)
+    return _solve_dsm_core(pixf, coords, yv, w, sub, kmask, warm, use_warm,
+                           alpha, epsilon, maxiter, tol, sigma, cutoff)
+
+
 def _pack_poly_group(problems, img_shape, params0=None,
                      maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, pb=None, Bp=None,
-                     placer=None):
-    """Packs one bucket batch and dispatches :func:`_solve_poly_packed`
+                     placer=None, use_mask=False):
+    """Packs one bucket batch and dispatches the packed 6-parameter program
     WITHOUT fetching (async device outputs). ``placer`` optionally maps the
-    packed arrays onto a device or mesh sharding (multi-chip routing)."""
-    PIX = np.zeros((Bp, pb, 2), np.int16)
+    packed arrays onto a device or mesh sharding (multi-chip routing);
+    ``use_mask`` selects the bit-packed crop-mask transfer format (the
+    caller guarantees every problem's bbox fits the mask buffer)."""
     OFF = np.zeros((Bp, 2), np.int32)
     CNT = np.zeros((Bp,), np.int32)
     YQ = np.zeros((Bp, pb), np.int16)
     YS = np.zeros((Bp,), np.float32)
     P0 = np.zeros((Bp, 6), np.float32)
+    if use_mask:
+        MB = np.zeros((Bp, (pb * MASK_BITS_PER_PIXEL) // 8), np.uint8)
+        WD = np.ones((Bp,), np.int32)
+    else:
+        PIX = np.zeros((Bp, pb, 2), np.int16)
     for j, p in enumerate(problems):
         npix = p.n_pixels
-        PIX[j, :npix] = p.pts
+        if use_mask:
+            pm = p.packed_mask
+            MB[j, :len(pm)] = pm
+            WD[j] = p.crop_shape[1]
+        else:
+            PIX[j, :npix] = p.pts
         OFF[j] = p.offset
         CNT[j] = npix
         YQ[j, :npix] = p.yq
@@ -621,6 +725,12 @@ def _pack_poly_group(problems, img_shape, params0=None,
         if params0 is not None and params0[j] is not None:
             P0[j] = params0[j][:6]
     denom = np.maximum(np.asarray(img_shape, np.float32) - 1.0, 1.0)
+    if use_mask:
+        if placer is not None:
+            MB, WD, OFF, CNT, YQ, YS, P0 = map(
+                placer, (MB, WD, OFF, CNT, YQ, YS, P0))
+        return _solve_poly_packed_mask(MB, WD, OFF, CNT, YQ, YS, denom, P0,
+                                       int(maxiter), float(tol))
     if placer is not None:
         PIX, OFF, CNT, YQ, YS, P0 = map(placer, (PIX, OFF, CNT, YQ, YS, P0))
     return _solve_poly_packed(PIX, OFF, CNT, YQ, YS, denom, P0, int(maxiter), float(tol))

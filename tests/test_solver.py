@@ -519,3 +519,91 @@ def test_chunk_composition_invariance():
         assert a.status == b.status
         same = (a.fg == b.fg).mean()
         assert same > 0.99, same
+
+
+def test_mask_transfer_program_parity():
+    """The bit-packed mask transfer programs produce BITWISE the outputs of
+    the coordinate-pair programs: ``_mask_to_pix`` rebuilds the exact
+    ``argwhere``-ordered integer coordinates (sort-based compaction), and the
+    downstream solve is the shared core."""
+    from superdsm_tpu.dsm import solver
+
+    rng = np.random.RandomState(3)
+    H, W = 48, 60
+    rr, cc = np.indices((H, W))
+    mask = ((rr - 22) ** 2 + (cc - 31) ** 2) < 180
+    img = rng.rand(H, W).astype(np.float32) - 0.45
+    p = make_problem(Image(model=img, mask=mask), img_shape=(H, W),
+                     smooth_amount=4.0, smooth_subsample=10)
+    pb, kb = 1024, 26
+    assert p.fits_mask(pb)
+
+    # mask round trip reproduces pts exactly (including the zero tail)
+    pm = p.packed_mask
+    MB = np.zeros((2, (pb * solver.MASK_BITS_PER_PIXEL) // 8), np.uint8)
+    MB[0, :len(pm)] = pm
+    WD = np.array([p.crop_shape[1], 1], np.int32)
+    CNT = np.array([p.n_pixels, 0], np.int32)
+    pix = np.asarray(solver._mask_to_pix(MB, WD, CNT, pb))
+    assert np.array_equal(pix[0, :p.n_pixels], p.pts.astype(np.int32))
+    assert np.all(pix[0, p.n_pixels:] == 0)
+    assert np.all(pix[1] == 0)  # padding problem row
+
+    PIX = np.zeros((2, pb, 2), np.int16)
+    PIX[0, :p.n_pixels] = p.pts
+    OFF = np.zeros((2, 2), np.int32)
+    OFF[0] = p.offset
+    YQ = np.zeros((2, pb), np.int16)
+    YQ[0, :p.n_pixels] = p.yq
+    YS = np.array([p.yscale, 1.0], np.float32)
+    denom = np.array([H - 1.0, W - 1.0], np.float32)
+
+    P0 = np.zeros((2, 6), np.float32)
+    a = jax.device_get(solver._solve_poly_packed(
+        PIX, OFF, CNT, YQ, YS, denom, P0, 40, 1e-5))
+    b = jax.device_get(solver._solve_poly_packed_mask(
+        MB, WD, OFF, CNT, YQ, YS, denom, P0, 40, 1e-5))
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+    k = p.n_deform
+    assert 0 < k <= kb
+    SUB = np.full((2, kb, 2), -170, np.int16)
+    SUB[0, :k] = p.sub
+    KM = np.zeros((2, kb), np.float32)
+    KM[0, :k] = 1.0
+    WARM = np.zeros((2, 6 + kb), np.float32)
+    UW = np.zeros(2, bool)
+    AL = np.full(2, 0.5, np.float32)
+    da = jax.device_get(solver._solve_dsm_packed(
+        PIX, OFF, CNT, YQ, YS, denom, SUB, KM, WARM, UW, AL, 1.0,
+        40, 1e-5, 4.0, 16))
+    db = jax.device_get(solver._solve_dsm_packed_mask(
+        MB, WD, OFF, CNT, YQ, YS, denom, SUB, KM, WARM, UW, AL, 1.0,
+        40, 1e-5, 4.0, 16))
+    for x, y in zip(da, db):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_mask_transfer_fit_routing():
+    """Blob-like regions fit the mask buffer; a sparse pixel subsample (the
+    oversized-region path) exceeds it and keeps the coordinate transfer."""
+    H, W = 64, 64
+    rr, cc = np.indices((H, W))
+    mask = ((rr - 32) ** 2 + (cc - 32) ** 2) < 500
+    img = np.random.RandomState(0).rand(H, W).astype(np.float32)
+    p = make_problem(Image(model=img, mask=mask), smooth_amount=np.inf)
+    pb = 2048
+    assert p.fits_mask(pb)
+    # subsampled copy: every 8th pixel over the same bbox
+    sub = Problem(pts=np.ascontiguousarray(p.pts[::8]), offset=p.offset,
+                  img_shape=p.img_shape, yv=np.ascontiguousarray(p.yv[::8]),
+                  sub=p.sub)
+    assert not sub.fits_mask(256)
+    # packed_mask of the subsample still reproduces its pts exactly
+    pm = sub.packed_mask
+    bits = np.unpackbits(pm)
+    flat = np.flatnonzero(bits)
+    w = sub.crop_shape[1]
+    rebuilt = np.stack([flat // w, flat % w], axis=1)
+    assert np.array_equal(rebuilt, sub.pts.astype(np.int64))
