@@ -689,7 +689,7 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
         a wedge client-side.
     :return: list of :class:`ProblemResult`, aligned with ``problems``.
     """
-    from .solver import pack_and_solve_poly, _solve_dsm_packed
+    from .solver import _solve_dsm_packed
     results = [None] * len(problems)
     if len(problems) == 0:
         return results
@@ -783,7 +783,9 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
     # rebuilt coordinates are identical, so results are bitwise unchanged.
     # CPU keeps the coordinate path: transfers are free there and the exact
     # CPU regression goldens stay pinned to one program structure.
-    mask_capable = not _on_cpu()
+    # SDSM_MASK_TRANSFERS=0 forces the coordinate path everywhere (A/B knob).
+    mask_capable = (not _on_cpu()
+                    and _os.environ.get('SDSM_MASK_TRANSFERS', '1') == '1')
 
     def _variants(idxs, pb):
         if not mask_capable:

@@ -270,3 +270,65 @@ def test_pipelined_stream_across_devices():
         mb = sorted((tuple(o.fg_offset), int(o.fg_fragment.sum()))
                     for o in b['postprocessed_objects'])
         assert ma == mb
+
+
+def test_mask_program_shards_over_pipeline_mesh():
+    """The bit-packed mask program (the production TPU transfer format) is
+    SPMD-shardable over the mesh batch axis: the sort-based compaction is
+    per-lane, so the partitioner splits it with no cross-device traffic.
+    Equivalence is up to the SPMD backend-noise class pinned by
+    ``test_pipeline_mesh_equivalence``: the partitioned codegen (local
+    batch 1) rounds differently from the single-device program, and the
+    creep-truncated trajectories snapshot that drift (measured here:
+    energies ~2e-7 rel, params ~1e-3 rel, foreground/flags identical)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from superdsm_tpu.dsm import solver
+    from superdsm_tpu.dsm.batching import make_problem
+    from superdsm_tpu.image import Image
+
+    mesh = make_mesh(n_batch=8, n_pixel=1)
+    rng = np.random.RandomState(5)
+    B, pb = 8, 512
+    nbytes = (pb * solver.MASK_BITS_PER_PIXEL) // 8
+    MB = np.zeros((B, nbytes), np.uint8)
+    WD = np.ones(B, np.int32)
+    CNT = np.zeros(B, np.int32)
+    YQ = np.zeros((B, pb), np.int16)
+    YS = np.ones(B, np.float32)
+    OFF = np.zeros((B, 2), np.int32)
+    H, W = 24, 40
+    for j in range(B):
+        rr, cc = np.indices((H, W))
+        m = ((rr - rng.randint(8, 16)) ** 2 + (cc - rng.randint(10, 30)) ** 2) < 40
+        img = rng.rand(H, W).astype(np.float32) - 0.4
+        p = make_problem(Image(model=img, mask=m), img_shape=(H, W),
+                         smooth_amount=np.inf)
+        pm = p.packed_mask
+        MB[j, :len(pm)] = pm
+        WD[j] = p.crop_shape[1]
+        CNT[j] = p.n_pixels
+        YQ[j, :p.n_pixels] = p.yq
+        YS[j] = p.yscale
+        OFF[j] = p.offset
+    denom = np.array([H - 1.0, W - 1.0], np.float32)
+    P0 = np.zeros((B, 6), np.float32)
+
+    args = (MB, WD, OFF, CNT, YQ, YS, denom, P0, 30, 1e-5)
+    base = jax.device_get(solver._solve_poly_packed_mask(*args))
+
+    def place(a):
+        a = np.asarray(a)
+        if a.ndim == 0 or a.shape[0] != B:
+            return a
+        spec = PartitionSpec('batch', *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    sharded_args = tuple(place(a) if isinstance(a, np.ndarray) else a
+                         for a in args)
+    sharded = jax.device_get(solver._solve_poly_packed_mask(*sharded_args))
+    b_params, b_f, b_conv, b_bad, b_fg, b_it = map(np.asarray, base)
+    s_params, s_f, s_conv, s_bad, s_fg, s_it = map(np.asarray, sharded)
+    np.testing.assert_allclose(s_f, b_f, rtol=1e-4, atol=1e-5)
+    assert np.array_equal(s_conv, b_conv)
+    assert np.array_equal(s_bad, b_bad)
+    assert np.array_equal(s_fg, b_fg)

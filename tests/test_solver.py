@@ -607,3 +607,39 @@ def test_mask_transfer_fit_routing():
     w = sub.crop_shape[1]
     rebuilt = np.stack([flat // w, flat % w], axis=1)
     assert np.array_equal(rebuilt, sub.pts.astype(np.int64))
+
+
+def test_mask_to_pix_edge_cases():
+    """Sort-based compaction reproduces argwhere order for pathological
+    masks: single pixel, full rectangle, thin diagonal, random sets."""
+    from superdsm_tpu.dsm import solver
+
+    rng = np.random.RandomState(7)
+    cases = []
+    cases.append((np.eye(30, 40, dtype=bool), 'diagonal'))
+    m = np.zeros((5, 9), bool)
+    m[3, 7] = True
+    cases.append((m, 'single'))
+    cases.append((np.ones((12, 20), bool), 'full'))
+    for _ in range(4):
+        cases.append((rng.rand(25, 31) < rng.uniform(0.05, 0.9), 'random'))
+
+    for mask, label in cases:
+        if not mask.any():
+            continue
+        pts = np.argwhere(mask)
+        n = len(pts)
+        pb = 128
+        while pb < n:
+            pb *= 2
+        nbytes = (pb * solver.MASK_BITS_PER_PIXEL) // 8
+        if mask.size > nbytes * 8:
+            continue  # exceeds capacity (routing would pick the pts path)
+        pm = np.packbits(mask)
+        MB = np.zeros((1, nbytes), np.uint8)
+        MB[0, :len(pm)] = pm
+        WD = np.array([mask.shape[1]], np.int32)
+        CNT = np.array([n], np.int32)
+        pix = np.asarray(solver._mask_to_pix(MB, WD, CNT, pb))[0]
+        assert np.array_equal(pix[:n], pts.astype(np.int32)), label
+        assert np.all(pix[n:] == 0), label

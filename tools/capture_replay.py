@@ -68,19 +68,27 @@ def capture():
     solver._solve_poly_packed_mask = wrap(solver._solve_poly_packed_mask, 'poly-m', POLY_M_ARGS)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    import bench
-    from superdsm_tpu.pipeline import create_default_pipeline
-    from superdsm_tpu.automation import process_image
-    from superdsm_tpu.config import Config
-    from superdsm_tpu.output import get_output
-    pipeline = create_default_pipeline()
-    cfg = Config({'AF_scale': 12})
-    out = get_output(None).derive(muted=True)
-    g, _ = bench.make_image(int(os.environ.get('SDSM_CAPTURE_SEED', 0)))
     t0 = time.time()
-    data, _, timings = process_image(pipeline, cfg, g, out=out)
+    if os.environ.get('SDSM_CAPTURE_IMAGE') == 'bbbc033':
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), 'tests', 'regression'))
+        import run_bbbc033
+        seg, timings = run_bbbc033.segment()
+        n_objects = len(np.unique(seg)) - 1
+    else:
+        import bench
+        from superdsm_tpu.pipeline import create_default_pipeline
+        from superdsm_tpu.automation import process_image
+        from superdsm_tpu.config import Config
+        from superdsm_tpu.output import get_output
+        pipeline = create_default_pipeline()
+        cfg = Config({'AF_scale': 12})
+        out = get_output(None).derive(muted=True)
+        g, _ = bench.make_image(int(os.environ.get('SDSM_CAPTURE_SEED', 0)))
+        data, _, timings = process_image(pipeline, cfg, g, out=out)
+        n_objects = len(data['postprocessed_objects'])
     print(f'captured {counter["n"]} solver calls in {time.time() - t0:.1f}s; '
-          f'{len(data["postprocessed_objects"])} objects; timings={timings}')
+          f'{n_objects} objects; timings={timings}')
 
 
 def _load_calls():
