@@ -643,3 +643,60 @@ def test_mask_to_pix_edge_cases():
         pix = np.asarray(solver._mask_to_pix(MB, WD, CNT, pb))[0]
         assert np.array_equal(pix[:n], pts.astype(np.int32)), label
         assert np.all(pix[n:] == 0), label
+
+
+def test_mask_routing_end_to_end(monkeypatch):
+    """Forces the accelerator transfer routing on the CPU backend and checks
+    the full solve_problems flow: blob regions take the mask path, the
+    pixel-subsampled oversized copy falls back to coordinates, and results
+    match the default coordinate-path run (same-chunking comparison — the
+    routing partition itself never changes lane data, and the direct
+    program-level parity is pinned bitwise by
+    test_mask_transfer_program_parity)."""
+    from superdsm_tpu.dsm import batching
+
+    rng = np.random.RandomState(11)
+    H, W = 96, 128
+    rr, cc = np.indices((H, W))
+    problems = []
+    for k in range(6):
+        m = ((rr - rng.randint(20, 70)) ** 2 +
+             (cc - rng.randint(25, 100)) ** 2) < rng.randint(60, 200)
+        img = rng.rand(H, W).astype(np.float32) - 0.45
+        problems.append(make_problem(Image(model=img, mask=m),
+                                     img_shape=(H, W), smooth_amount=4,
+                                     smooth_subsample=8, tag=k))
+    # a sparse pixel subsample over a large bbox (the oversized-region
+    # pattern): bbox bits exceed the mask-buffer capacity of the subsample's
+    # small pixel bucket -> coordinate path
+    m_big = ((rr - 48) ** 2 + (cc - 64) ** 2) < 3600
+    img = rng.rand(H, W).astype(np.float32) - 0.45
+    p_big = make_problem(Image(model=img, mask=m_big), img_shape=(H, W),
+                         smooth_amount=4, smooth_subsample=8)
+    sparse = Problem(
+        pts=np.ascontiguousarray(p_big.pts[::8]), offset=p_big.offset,
+        img_shape=p_big.img_shape, yv=np.ascontiguousarray(p_big.yv[::8]),
+        sub=p_big.sub, tag='sparse')
+    assert not sparse.fits_mask(2048)
+    problems.append(sparse)
+
+    kw = dict(alpha=0.05, smooth_amount=4, maxiter=20)
+    base = solve_problems(problems, **kw)
+
+    shapes = []
+    orig_record = batching._record_shapes
+    monkeypatch.setattr(batching, '_on_cpu', lambda: False)
+    monkeypatch.setattr(batching, 'B_CAP_TPU', batching.B_CAP_CPU)
+    monkeypatch.setattr(batching, 'B_CAP_POLY_TPU', batching.B_CAP_CPU)
+    monkeypatch.setattr(batching, '_record_shapes',
+                        lambda entries: (shapes.extend(entries),
+                                         orig_record(entries))[1])
+    routed = solve_problems(problems, **kw)
+    kinds = {s[0] for s in shapes}
+    assert 'dsm-m' in kinds, shapes  # blob regions took the mask path
+    assert 'dsm' in kinds, shapes    # the sparse subsample fell back to pts
+
+    for a, b in zip(base, routed):
+        np.testing.assert_allclose(a.energy, b.energy, rtol=1e-4, atol=1e-5)
+        assert a.status == b.status
+        assert (a.fg == b.fg).mean() > 0.99
