@@ -69,13 +69,27 @@ def _check_halo(obj, pad_off, pad_sel, mosaic_shape, halo, out):
 
 
 def process_mosaic(pipeline, cfg, g_raw, tile=(1024, 1024), halo=160, out=None,
-                   devices=None):
+                   devices=None, threads_per_device=1):
     """Segments a large mosaic tile by tile.
 
     With more than one device (``devices`` defaults to all local devices),
     tiles are distributed over host threads, each pinning its solves to one
     device via :class:`~superdsm_tpu.dsm.batching.device_scope` — independent
     tiles run concurrently across chips.
+
+    ``threads_per_device`` > 1 additionally overlaps one tile's host phases
+    (watersheds, combinatorics, packing) with another tile's device phases on
+    the SAME chip — the host/device pipelining of
+    :func:`~superdsm_tpu.parallel.pipelined.process_images_pipelined` applied
+    to tiles. As there, split-tree speculation is disabled while overlapping
+    (it spends extra device compute to win latency, which only costs
+    throughput when the device is already saturated) unless the caller pinned
+    ``c2f-region-analysis/speculate``. The default is 1: unlike small-image
+    streams, a dense 1024x1024 tile keeps both host and device busy by
+    itself, and an interleaved warm A/B (2048x2048 dense field, one v5e
+    chip, 1-core host) measured 3.7-4.6 s/tile at 1 thread vs 5.4-8.2 at 2
+    and 5.0-6.7 at 3 — thread overlap only adds GIL contention on long host
+    phases. Raise it only on hosts with spare cores.
 
     :param pipeline: A :class:`~superdsm_tpu.pipeline.Pipeline`, or a factory
         returning one (a factory gives each worker thread its own pipeline).
@@ -96,7 +110,9 @@ def process_mosaic(pipeline, cfg, g_raw, tile=(1024, 1024), halo=160, out=None,
     tiles = list(_tile_grid(g_raw.shape, tile, halo))
     if devices is None:
         devices = jax.devices()
-    n_workers = max(1, min(len(devices), len(tiles)))
+    n_workers = max(1, min(max(1, threads_per_device) * len(devices),
+                           len(tiles)))
+    overlapping = n_workers > len(devices)
     make_pipeline = pipeline if callable(pipeline) else (lambda: pipeline)
 
     done = [0]
@@ -119,6 +135,8 @@ def process_mosaic(pipeline, cfg, g_raw, tile=(1024, 1024), halo=160, out=None,
         tile_idx, core_sel, pad_sel = args
         tile_img = g_raw[pad_sel]
         tile_cfg = cfg.copy() if isinstance(cfg, Config) else Config(cfg)
+        if overlapping:
+            tile_cfg.set_default('c2f-region-analysis/speculate', False)
         with device_scope(_thread_device()):
             data, _, _ = process_image(make_pipeline(), tile_cfg, tile_img,
                                        out=out.derive(muted=True))

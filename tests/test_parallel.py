@@ -99,6 +99,36 @@ def test_mosaic_processing():
         assert abs(fr - er) <= 3 and abs(fc - ec) <= 3
 
 
+def test_mosaic_threads_deterministic():
+    """Tile pipelining (threads_per_device > 1) must not change outputs:
+    tiles are independent and results are ordered by tile index."""
+    import numpy as np
+    from superdsm_tpu.parallel.mosaic import process_mosaic, rasterize_mosaic_labels
+    from superdsm_tpu.pipeline import create_default_pipeline
+    from superdsm_tpu.config import Config
+
+    rng = np.random.RandomState(1)
+    H, W = 200, 320
+    rr, cc = np.indices((H, W))
+    g = np.zeros((H, W), np.float32)
+    for (r0, c0) in [(50, 50), (50, 200), (150, 100), (150, 270)]:
+        g += np.exp(-(((rr - r0) ** 2 + (cc - c0) ** 2) / (2 * 9.0 ** 2)))
+    g += rng.randn(H, W).astype(np.float32) * 0.02
+
+    cfg = Config({'AF_scale': 10})
+    # speculation off in BOTH runs: the overlapping path disables it, and the
+    # comparison should isolate threading (speculation identity is covered by
+    # test_c2f_speculation_identical)
+    cfg['c2f-region-analysis/speculate'] = False
+    labels = []
+    for threads in (1, 2):
+        objects, _ = process_mosaic(create_default_pipeline(), cfg, g,
+                                    tile=(160, 160), halo=48,
+                                    threads_per_device=threads)
+        labels.append(rasterize_mosaic_labels((H, W), objects))
+    assert np.array_equal(labels[0], labels[1])
+
+
 def test_mosaic_halo_guard_warns_on_truncation():
     """A kept object whose extent approaches the halo (or whose mask is
     clipped by the tile crop) must warn loudly instead of silently

@@ -2,7 +2,7 @@
 tile-by-tile (parallel/mosaic.py), one chip. Reproduces the round-2 scaling
 measurement (docs/scaling.md) on the current code.
 
-    python tools/mosaic_bench.py [size]
+    python tools/mosaic_bench.py [size] [threads_per_device]
 """
 
 import os
@@ -40,6 +40,7 @@ def make_mosaic(size=4096, cell=96, radius=16, seed=0):
 
 def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    threads = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     from superdsm_tpu.pipeline import create_default_pipeline
     from superdsm_tpu.parallel.mosaic import process_mosaic
     from superdsm_tpu.config import Config
@@ -51,11 +52,12 @@ def main():
     cfg = Config({'AF_scale': 12})
     out = get_output(None).derive(muted=True)
     t0 = time.time()
-    objects, n_tiles = process_mosaic(create_default_pipeline, cfg, g, out=out)
+    objects, n_tiles = process_mosaic(create_default_pipeline, cfg, g, out=out,
+                                      threads_per_device=threads)
     dt = time.time() - t0
     print(f'{size}x{size} mosaic: {len(objects)} objects '
           f'({n_true} planted) in {dt:.1f}s over {n_tiles} tiles '
-          f'= {dt / n_tiles:.1f} s/tile')
+          f'= {dt / n_tiles:.1f} s/tile ({threads} threads/device)')
 
 
 if __name__ == '__main__':
