@@ -725,15 +725,25 @@ def _pack_poly_group(problems, img_shape, params0=None,
         if params0 is not None and params0[j] is not None:
             P0[j] = params0[j][:6]
     denom = np.maximum(np.asarray(img_shape, np.float32) - 1.0, 1.0)
+    from . import aot
+    statics = (float(tol),)
     if use_mask:
         if placer is not None:
             MB, WD, OFF, CNT, YQ, YS, P0 = map(
                 placer, (MB, WD, OFF, CNT, YQ, YS, P0))
-        return _solve_poly_packed_mask(MB, WD, OFF, CNT, YQ, YS, denom, P0,
-                                       int(maxiter), float(tol))
+            return _solve_poly_packed_mask(MB, WD, OFF, CNT, YQ, YS, denom,
+                                           P0, int(maxiter), float(tol))
+        return aot.dispatch('poly-m', pb, 0, Bp, statics,
+                            _solve_poly_packed_mask,
+                            (MB, WD, OFF, CNT, YQ, YS, denom, P0,
+                             int(maxiter)) + statics)
     if placer is not None:
         PIX, OFF, CNT, YQ, YS, P0 = map(placer, (PIX, OFF, CNT, YQ, YS, P0))
-    return _solve_poly_packed(PIX, OFF, CNT, YQ, YS, denom, P0, int(maxiter), float(tol))
+        return _solve_poly_packed(PIX, OFF, CNT, YQ, YS, denom, P0,
+                                  int(maxiter), float(tol))
+    return aot.dispatch('poly', pb, 0, Bp, statics, _solve_poly_packed,
+                        (PIX, OFF, CNT, YQ, YS, denom, P0,
+                         int(maxiter)) + statics)
 
 
 def pack_and_solve_poly(problems, img_shape, params0=None,

@@ -1,0 +1,143 @@
+"""AOT executable registry (superdsm_tpu.dsm.aot).
+
+The registry must serve the *same* executable the plain jit path runs:
+outputs are compared elementwise-exact on the CPU backend, both for a
+freshly compiled registration and for a sidecar (serialize → pickle →
+deserialize_and_load) round trip in a clean registry.
+"""
+
+import contextlib
+
+import numpy as np
+import jax
+import pytest
+
+from superdsm_tpu.dsm import aot, batching
+
+
+SHAPE = ('dsm', 2048, 122, 4)
+POLY_SHAPE = ('poly-m', 2048, 0, 4)
+
+
+@contextlib.contextmanager
+def _scoped_cache_dir(path):
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update('jax_compilation_cache_dir', str(path))
+    try:
+        yield
+    finally:
+        jax.config.update('jax_compilation_cache_dir', old)
+
+
+@pytest.fixture
+def fresh_fingerprint(monkeypatch):
+    monkeypatch.setattr(aot, '_FPRINT', None)
+
+
+def _job(shape, maxiter=8):
+    fn, args = batching._warmup_job(*shape, maxiter, batching.DEFAULT_TOL,
+                                    4.0, 16)
+    statics = ((batching.DEFAULT_TOL,) if shape[0].startswith('poly')
+               else (batching.DEFAULT_TOL, 4.0, 16))
+    return fn, args, statics
+
+
+def _get(outs):
+    return [np.asarray(x) for x in jax.device_get(outs)]
+
+
+def test_dispatch_identical_to_jit(tmp_path, fresh_fingerprint):
+    saved = dict(aot._REGISTRY)
+    aot._REGISTRY.clear()
+    try:
+        with _scoped_cache_dir(tmp_path):
+            for shape in (SHAPE, POLY_SHAPE):
+                fn, args, statics = _job(shape)
+                ref = _get(fn(*args))
+
+                # miss: falls through to the jit path
+                out_miss = _get(aot.dispatch(*shape, statics, fn, args))
+                for a, b in zip(ref, out_miss):
+                    np.testing.assert_array_equal(a, b)
+
+                # fresh registration and dispatch
+                aot.acquire(*shape, statics, fn, args)
+                key = aot._key(*shape, statics)
+                assert key in aot._REGISTRY
+                out_hit = _get(aot.dispatch(*shape, statics, fn, args))
+                for a, b in zip(ref, out_hit):
+                    np.testing.assert_array_equal(a, b)
+
+                sidecar = aot._sidecar_dir() / aot._fname(key)
+                if aot._sidecars_ok():
+                    # sidecar round trip: clean registry, acquire must
+                    # deserialize (accelerator backends only — XLA:CPU AOT
+                    # artifacts fail machine-feature validation at load)
+                    assert sidecar.exists(), 'sidecar was not written'
+                    aot._REGISTRY.clear()
+                    aot.acquire(*shape, statics, fn, args)
+                    assert key in aot._REGISTRY
+                    out_loaded = _get(aot.dispatch(*shape, statics, fn,
+                                                   args))
+                    for a, b in zip(ref, out_loaded):
+                        np.testing.assert_array_equal(a, b)
+                else:
+                    assert not sidecar.exists(), \
+                        'sidecar written on a backend that cannot load it'
+    finally:
+        aot._REGISTRY.clear()
+        aot._REGISTRY.update(saved)
+
+
+def test_production_dispatch_hits_warmed_keys(tmp_path, fresh_fingerprint):
+    """End-to-end wiring: the keys ``warmup`` registers must be the keys the
+    production dispatch sites look up (a silent mismatch would degrade every
+    solve to the jit path), and the routed results must be identical."""
+    from superdsm_tpu.image import Image
+    from superdsm_tpu.dsm.batching import make_problem, solve_problems
+
+    H, W = 48, 48
+    rr, cc = np.indices((H, W))
+    lmask = ((rr > 8) & (rr < 40) & (cc > 8) & (cc < 24)) | \
+            ((rr > 26) & (rr < 40) & (cc > 8) & (cc < 40))
+    region = Image(model=lmask.astype(np.float32) - 0.5)
+
+    def solve():
+        prob = make_problem(region, smooth_amount=4, smooth_subsample=6)
+        return solve_problems([prob], alpha=0.05, smooth_amount=4)[0]
+
+    saved = dict(aot._REGISTRY)
+    aot._REGISTRY.clear()
+    try:
+        with _scoped_cache_dir(tmp_path):
+            seen_before = set(batching._RECORDED_SHAPES)
+            ref = solve()
+            shapes = sorted(set(batching._RECORDED_SHAPES) - seen_before)
+            assert shapes, 'solve did not record its dispatched shapes'
+            before = dict(aot.stats)
+            batching.warmup(shapes=shapes)
+            assert aot._REGISTRY, 'warmup registered nothing'
+            res = solve()
+            assert aot.stats['hits'] > before['hits'], \
+                'production dispatch missed the warmed keys'
+        assert res.energy == ref.energy
+        np.testing.assert_array_equal(res.fg, ref.fg)
+        np.testing.assert_array_equal(res.params, ref.params)
+    finally:
+        aot._REGISTRY.clear()
+        aot._REGISTRY.update(saved)
+
+
+def test_fingerprint_scopes_sidecars(tmp_path, fresh_fingerprint,
+                                     monkeypatch):
+    with _scoped_cache_dir(tmp_path):
+        d1 = aot._sidecar_dir(make=True)
+        (d1 / 'dummy.pkl').write_bytes(b'x')
+        # a knob that alters traced programs must change the fingerprint
+        # dir (and the stale dir is pruned on next acquire-time make)
+        monkeypatch.setenv('SDSM_GRAM_PASSES', '3')
+        monkeypatch.setattr(aot, '_FPRINT', None)
+        d2 = aot._sidecar_dir(make=True)
+        assert d1 != d2
+        assert not (d1 / 'dummy.pkl').exists(), \
+            'stale fingerprint dir not pruned'
