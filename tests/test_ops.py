@@ -26,6 +26,19 @@ def test_gaussian_large_sigma_small_image():
     np.testing.assert_allclose(dev, host, rtol=1e-3, atol=1e-4)
 
 
+def test_gaussian_toeplitz_path_is_near_exact():
+    """Long kernels run as banded-Toeplitz matmuls at Precision.HIGHEST
+    (the B=1,C=1 TPU conv lowering is bf16 — measured ~61 int16 quanta of
+    preprocess error); the matmul path must track the f64 truth to f32
+    rounding, orders of magnitude inside the preprocess int16 quantum."""
+    import scipy.ndimage as _ndi
+    rng = np.random.RandomState(3)
+    img = rng.rand(96, 130).astype(np.float32)
+    dev = np.asarray(gaussian_filter(img, 40.0))
+    truth = _ndi.gaussian_filter(img.astype(np.float64), 40.0, truncate=4.0)
+    np.testing.assert_allclose(dev, truth, rtol=0, atol=2e-7)
+
+
 def test_edt_jax_matches_scipy():
     rng = np.random.RandomState(2)
     mask = rng.rand(40, 56) < 0.7
