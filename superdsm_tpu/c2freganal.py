@@ -583,8 +583,14 @@ class C2F_RegionAnalysis(Stage):
         workers = {}
         clusters_by_label = {}
         spec_stats = SpecStats()
+        # bbox-local crops: `clusters == label` / bbox scans over the full
+        # frame cost O(n_clusters * H * W) on dense fields (110-cluster 4K
+        # tiles spent ~0.3 s here); find_objects gives every bbox in one pass
+        cluster_slices = ndi.find_objects(clusters)
         for cluster_label in cluster_labels:
-            cluster = y.get_region(clusters == cluster_label, shrink=True)
+            sl = cluster_slices[cluster_label - 1]
+            cluster = Image(y.model[sl], clusters[sl] == cluster_label,
+                            offset=(sl[0].start, sl[1].start))
             masked_cluster = cluster.get_region(cluster.shrink_mask(y_mask))
             clusters_by_label[cluster_label] = cluster
             workers[cluster_label] = _cluster_worker(
@@ -602,12 +608,19 @@ class C2F_RegionAnalysis(Stage):
         _phase()  # drive: lockstep worker rounds incl. device solves
 
         max_normalized_energy = -np.inf
+        # running label high-water mark (atoms_map.max() is a full-frame scan
+        # per cluster); assignments below are disjoint, so the max after each
+        # cluster is offset + that cluster's local max
+        next_label_offset = 0
         for cluster_label in cluster_labels:
             root_candidate, cluster_atoms, cluster_atoms_map, cluster_max_ne = results[cluster_label]
             cluster = clusters_by_label[cluster_label]
-            cluster_label_offset = atoms_map.max()
+            cluster_label_offset = next_label_offset
+            next_label_offset = cluster_label_offset + int(cluster_atoms_map.max())
             max_normalized_energy = max(cluster_max_ne, max_normalized_energy)
-            atoms_map[cluster.full_mask] = cluster_label_offset + cluster_atoms_map[cluster.mask]
+            view = atoms_map[cluster.offset[0]: cluster.offset[0] + cluster.mask.shape[0],
+                             cluster.offset[1]: cluster.offset[1] + cluster.mask.shape[1]]
+            view[cluster.mask] = cluster_label_offset + cluster_atoms_map[cluster.mask]
             for atom_candidate in cluster_atoms:
                 label = cluster_label_offset + next(iter(atom_candidate.footprint))
                 atom_candidate_by_label[label] = atom_candidate
