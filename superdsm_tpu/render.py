@@ -308,7 +308,11 @@ def rasterize_labels(data, objects='postprocessed_objects',
                for group in obj_indices_by_label.values()]
     result = np.zeros(data['g_raw'].shape, 'uint16')
     if len(objects) > 0:
-        overlaps = (np.sum(objects, axis=0) > 1)
+        # accumulate counts in place (np.sum over a list stacks n full frames)
+        counts = np.zeros(result.shape, np.uint16)
+        for obj in objects:
+            counts += obj
+        overlaps = counts > 1
         for label, obj in enumerate(objects, 1):
             result[obj] = label
         background = (result == 0).copy()
@@ -319,10 +323,14 @@ def rasterize_labels(data, objects='postprocessed_objects',
                            mask=np.logical_not(background)).astype('uint16')
 
     # exactly coincident objects eliminate each other above; restore them
+    covered = result > 0
+    next_label = int(result.max()) if len(objects) > 0 else 0
     for obj in objects:
-        obj_mask = ((result > 0) * 1 - (obj > 0) * 1 < 0)
+        obj_mask = obj & ~covered
         if obj_mask.any():
-            result[obj_mask] = result.max() + 1
+            next_label += 1
+            result[obj_mask] = next_label
+            covered |= obj_mask
 
     result[result == 0] = background_label
     return result
