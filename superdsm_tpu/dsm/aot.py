@@ -107,7 +107,7 @@ def _sidecar_dir(make=False):
             target.mkdir(parents=True, exist_ok=True)
             for sib in d.iterdir():
                 if sib.is_dir() and sib.name != fp:
-                    for f in sib.glob('*.pkl'):
+                    for f in sib.glob('*'):  # .pkl + any leaked .tmp
                         f.unlink(missing_ok=True)
                     try:
                         sib.rmdir()
@@ -159,16 +159,41 @@ def acquire(kind, pb, kb, Bp, statics, fn, args):
         except Exception:
             return
         if path is not None:
+            tmp = None
             try:
                 payload, in_tree, out_tree = se.serialize(exe)
                 fd, tmp = tempfile.mkstemp(dir=d, suffix='.tmp')
                 with os.fdopen(fd, 'wb') as f:
                     pickle.dump((payload, in_tree, out_tree), f)
                 os.replace(tmp, path)  # atomic vs concurrent warmups
+                tmp = None
             except Exception:
-                pass
+                if tmp is not None:
+                    try:
+                        os.unlink(tmp)
+                    except OSError:
+                        pass
     with _LOCK:
         _REGISTRY[key] = exe
+
+
+def drop(shapes):
+    """Removes the registry entries for ``(kind, pb, kb, Bp) + statics``
+    tuples; returns how many were present.
+
+    Dispatch through the device tunnel is async, so an executable that
+    passes acquire-time validation but fails server-side at *execution*
+    (e.g. a sidecar from a stale server runtime) surfaces at the caller's
+    later fetch — outside :func:`dispatch`'s own exception handler. The
+    solve round catches that fetch failure, drops the round's entries here,
+    and retries once through the plain jit path."""
+    n = 0
+    with _LOCK:
+        for s in shapes:
+            if _REGISTRY.pop(_key(s[0], s[1], s[2], s[3], s[4:]), None) \
+                    is not None:
+                n += 1
+    return n
 
 
 def dispatch(kind, pb, kb, Bp, statics, fn, args):
@@ -180,7 +205,8 @@ def dispatch(kind, pb, kb, Bp, statics, fn, args):
     """
     key = _key(kind, pb, kb, Bp, statics)
     exe = _REGISTRY.get(key) if enabled() else None
-    stats['hits' if exe is not None else 'misses'] += 1
+    with _LOCK:  # pipelined/mosaic threads dispatch concurrently
+        stats['hits' if exe is not None else 'misses'] += 1
     if exe is not None:
         try:
             return exe(*args[:len(args) - len(statics)])

@@ -365,18 +365,36 @@ def warmup(shapes=None, maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, sigma=4.0,
     from concurrent.futures import ThreadPoolExecutor
     if shapes is None:
         shapes = _warmup_shapes()
-    shapes = sorted(set(map(tuple, shapes)))
+    # Entries are (kind, P, K, B) + statics. The statics are COMPILE-TIME
+    # program parameters, so they are part of the production aot.dispatch
+    # key (a workload with smooth_amount != the warmup default would
+    # silently miss every registry entry otherwise). Legacy 4-tuples (the
+    # pre-statics sidecar format and hand-written shape lists) get this
+    # call's tol/sigma/cutoff arguments appended.
+    def _normalize(shape):
+        shape = tuple(shape)
+        if len(shape) > 4:
+            return shape
+        kind = shape[0]
+        return shape + ((float(tol),) if kind.startswith('poly')
+                        else (float(tol), float(sigma), int(cutoff)))
+
+    shapes = sorted({_normalize(s) for s in shapes})
     t_start = _time.time()
 
-    def _statics(kind):
-        return (tol,) if kind.startswith('poly') else (tol, sigma, cutoff)
+    def _job(shape, mi):
+        kind, pb, kb, Bp = shape[:4]
+        statics = shape[4:]
+        if kind.startswith('poly'):
+            return _warmup_job(kind, pb, kb, Bp, mi, statics[0], sigma, cutoff)
+        return _warmup_job(kind, pb, kb, Bp, mi, *statics)
 
     def lower_one(shape):
-        fn, args = _warmup_job(*shape, maxiter, tol, sigma, cutoff)
+        fn, args = _job(shape, maxiter)
         # registers an AOT executable (sidecar deserialization is 2.5-3x
         # faster than the warm-persistent-cache compile path); production
         # dispatch then routes through the same executable via aot.dispatch
-        aot.acquire(*shape, _statics(shape[0]), fn, args)
+        aot.acquire(*shape[:4], shape[4:], fn, args)
         if not aot.enabled():
             fn.lower(*args).compile()
 
@@ -389,11 +407,11 @@ def warmup(shapes=None, maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, sigma=4.0,
         # not by program loading. Routed through the AOT registry so the
         # server-side program load is paid by the executable production
         # will actually call.
-        fn, args = _warmup_job(*shape, 1, tol, sigma, cutoff)
-        outs = aot.dispatch(*shape, _statics(shape[0]), fn, args)
+        fn, args = _job(shape, 1)
+        outs = aot.dispatch(*shape[:4], shape[4:], fn, args)
         jax.device_get(outs[1][:1])  # tiny sync - block_until_ready is a
         #                              no-op through the axon tunnel
-        _WARM_SHAPES.add(tuple(shape))
+        _WARM_SHAPES.add(shape)
 
     with ThreadPoolExecutor(max_workers=threads) as pool:
         list(pool.map(lower_one, shapes))
@@ -820,7 +838,7 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                 chunk = vidxs[chunk_start: chunk_start + bmax]
                 Bp = max(_batch_shape(len(chunk), pb, 'poly'), min_b)
                 dispatched_shapes.append(
-                    ('poly-m' if use_mask else 'poly', pb, 0, Bp))
+                    ('poly-m' if use_mask else 'poly', pb, 0, Bp, float(tol)))
                 inits = [problems[i].init_params for i in chunk]
                 outs = _pack_poly_group([problems[i] for i in chunk], img_shape,
                                         params0=inits, maxiter=maxiter, tol=tol,
@@ -846,7 +864,8 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                 chunk_start += size
                 Bp = max(_batch_shape(len(chunk), pb), min_b)
                 dispatched_shapes.append(
-                    ('dsm-m' if use_mask else 'dsm', pb, kb, Bp))
+                    ('dsm-m' if use_mask else 'dsm', pb, kb, Bp,
+                     float(tol), float(smooth_amount), int(cutoff)))
                 OFF = np.zeros((Bp, 2), np.int32)
                 CNT = np.zeros((Bp,), np.int32)
                 YQ = np.zeros((Bp, pb), np.int16)
@@ -958,6 +977,27 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                       f'{len(problems)} solve(s) fall back to initialization')
         return _fallback_results_after_timeout(
             problems, oversized, alpha, epsilon, smooth_amount, cutoff, fetch)
+    except Exception:
+        # an AOT registry executable can pass acquire-time validation yet
+        # fail server-side at execution; dispatch is async, so that failure
+        # surfaces here. Drop the round's registry entries and retry once —
+        # the retry misses the registry and runs the plain jit path. A
+        # failure unrelated to the registry reproduces on the retry and
+        # propagates from there.
+        if aot.drop(dispatched_shapes) == 0:
+            raise
+        if out is not None:
+            out.write(f'{progress_line}: device round failed on an AOT '
+                      f'executable — dropped, retrying via the jit path')
+        retry_problems = list(problems)
+        for i, (_factor, p_orig) in oversized.items():
+            retry_problems[i] = p_orig
+        return solve_problems(
+            retry_problems, alpha=alpha, epsilon=epsilon,
+            smooth_amount=smooth_amount,
+            gaussian_shape_multiplier=gaussian_shape_multiplier,
+            init=init, maxiter=maxiter, tol=tol, out=out,
+            progress_line=progress_line, fetch=fetch, timeout=timeout)
     _WARM_SHAPES.update(dispatched_shapes)
     if _TELEMETRY:
         fetched, _its = fetched

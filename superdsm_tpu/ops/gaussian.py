@@ -29,7 +29,11 @@ import jax.numpy as jnp
 #: Kernels with at least this many taps run as banded-Toeplitz matmuls on
 #: the MXU; shorter ones as HIGHEST-precision convolutions. The matmul cost
 #: is ~independent of tap count (contraction over the padded axis), the conv
-#: cost grows with it; the crossover is well below 64 taps on TPU.
+#: cost grows with it; the crossover is well below 64 taps on TPU. The same
+#: branch is right on the XLA:CPU backend, despite the extra MACs of the
+#: band contraction: measured at 1344^2/sigma=40, the Toeplitz matmul (BLAS
+#: GEMM) runs 110 ms vs 3805 ms for the conv lowering (and 262 ms for
+#: scipy's separable filter) — do not gate it off on CPU.
 TOEPLITZ_MIN_TAPS = int(os.environ.get('SDSM_GAUSS_TOEPLITZ_TAPS', '64'))
 
 

@@ -92,7 +92,12 @@ def test_dispatch_identical_to_jit(tmp_path, fresh_fingerprint):
 def test_production_dispatch_hits_warmed_keys(tmp_path, fresh_fingerprint):
     """End-to-end wiring: the keys ``warmup`` registers must be the keys the
     production dispatch sites look up (a silent mismatch would degrade every
-    solve to the jit path), and the routed results must be identical."""
+    solve to the jit path), and the routed results must be identical.
+
+    ``smooth_amount=6`` is deliberately NOT the warmup default (4): the
+    statics are part of the dispatch key, so the recorded shape entries must
+    carry them through to ``warmup`` — re-deriving them from warmup defaults
+    would miss every non-default workload."""
     from superdsm_tpu.image import Image
     from superdsm_tpu.dsm.batching import make_problem, solve_problems
 
@@ -100,6 +105,50 @@ def test_production_dispatch_hits_warmed_keys(tmp_path, fresh_fingerprint):
     rr, cc = np.indices((H, W))
     lmask = ((rr > 8) & (rr < 40) & (cc > 8) & (cc < 24)) | \
             ((rr > 26) & (rr < 40) & (cc > 8) & (cc < 40))
+    region = Image(model=lmask.astype(np.float32) - 0.5)
+
+    def solve():
+        prob = make_problem(region, smooth_amount=6, smooth_subsample=6)
+        return solve_problems([prob], alpha=0.05, smooth_amount=6)[0]
+
+    saved = dict(aot._REGISTRY)
+    aot._REGISTRY.clear()
+    try:
+        with _scoped_cache_dir(tmp_path):
+            seen_before = set(batching._RECORDED_SHAPES)
+            ref = solve()
+            shapes = sorted(set(batching._RECORDED_SHAPES) - seen_before)
+            assert shapes, 'solve did not record its dispatched shapes'
+            batching.warmup(shapes=shapes)
+            assert aot._REGISTRY, 'warmup registered nothing'
+            # capture AFTER warmup: its run_one phase dispatches through the
+            # registry itself, which must not mask a production-key mismatch
+            before = dict(aot.stats)
+            res = solve()
+            assert aot.stats['hits'] > before['hits'], \
+                'production dispatch missed the warmed keys'
+            assert aot.stats['misses'] == before['misses'], \
+                'production dispatch missed the registry for some program'
+        assert res.energy == ref.energy
+        np.testing.assert_array_equal(res.fg, ref.fg)
+        np.testing.assert_array_equal(res.params, ref.params)
+    finally:
+        aot._REGISTRY.clear()
+        aot._REGISTRY.update(saved)
+
+
+def test_fetch_failure_drops_registry_and_retries(tmp_path,
+                                                  fresh_fingerprint,
+                                                  monkeypatch):
+    """Async executions fail at the FETCH, not at dispatch: the solve round
+    must drop the round's registry entries and retry once through the jit
+    path (identical results), instead of erroring the image."""
+    from superdsm_tpu.image import Image
+    from superdsm_tpu.dsm.batching import make_problem, solve_problems
+
+    H, W = 48, 48
+    rr, cc = np.indices((H, W))
+    lmask = (rr > 8) & (rr < 40) & (cc > 8) & (cc < 30)
     region = Image(model=lmask.astype(np.float32) - 0.5)
 
     def solve():
@@ -113,16 +162,32 @@ def test_production_dispatch_hits_warmed_keys(tmp_path, fresh_fingerprint):
             seen_before = set(batching._RECORDED_SHAPES)
             ref = solve()
             shapes = sorted(set(batching._RECORDED_SHAPES) - seen_before)
-            assert shapes, 'solve did not record its dispatched shapes'
-            before = dict(aot.stats)
             batching.warmup(shapes=shapes)
-            assert aot._REGISTRY, 'warmup registered nothing'
+            n_reg = len(aot._REGISTRY)
+            assert n_reg > 0
+
+            real_fetch = batching._fetch_with_deadline
+            fails = {'n': 0}
+
+            def poisoned(sel, timeout):
+                if fails['n'] == 0:
+                    fails['n'] += 1
+                    raise RuntimeError('server-side executable failure')
+                return real_fetch(sel, timeout)
+
+            monkeypatch.setattr(batching, '_fetch_with_deadline', poisoned)
             res = solve()
-            assert aot.stats['hits'] > before['hits'], \
-                'production dispatch missed the warmed keys'
+            assert fails['n'] == 1, 'the poisoned fetch never ran'
+            assert len(aot._REGISTRY) < n_reg, \
+                'failing round did not drop its registry entries'
         assert res.energy == ref.energy
-        np.testing.assert_array_equal(res.fg, ref.fg)
         np.testing.assert_array_equal(res.params, ref.params)
+
+        # with nothing to drop (registry empty), the failure must propagate
+        aot._REGISTRY.clear()
+        fails['n'] = 0
+        with pytest.raises(RuntimeError):
+            solve()
     finally:
         aot._REGISTRY.clear()
         aot._REGISTRY.update(saved)

@@ -22,6 +22,7 @@ def main():
     tr = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     tc = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     from superdsm_tpu.pipeline import create_default_pipeline
+    from superdsm_tpu.automation import process_image
     from superdsm_tpu.config import Config
     from superdsm_tpu.dsm.batching import warmup
 
@@ -37,7 +38,10 @@ def main():
     pipeline = create_default_pipeline()
     for rep in range(3):
         t0 = time.time()
-        data, _, timings = pipeline.process_image(tile, cfg.copy())
+        # automation.process_image: the same entry point process_mosaic
+        # uses — AF_scale expands into the scale-derived stage parameters
+        # there (Pipeline.process_image would silently run hard defaults)
+        data, _, timings = process_image(pipeline, cfg.copy(), tile)
         dt = time.time() - t0
         stages = {k: round(v, 2) for k, v in sorted(
             timings.items(), key=lambda kv: -kv[1])}
