@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Populate ``examples/data/`` with the five public microscopy datasets.
+"""Populate ``examples/data/`` with the six public microscopy datasets.
 
 Counterpart of the reference loader (``/root/reference/examples/load_data.py``)
 rebuilt on the standard library only (urllib instead of requests). Each entry

@@ -88,13 +88,23 @@ def _fingerprint():
     return _FPRINT
 
 
+#: Stale sibling fingerprint dirs beyond the most recent N are pruned.
+#: N > 0 keeps the documented env-knob A/B workflow fast (alternating
+#: SDSM_GRAM_* runs have different fingerprints and would otherwise wipe
+#: each other's sidecars every run, paying the full serialize path twice).
+_KEEP_SIBLINGS = 2
+_PRUNED = False
+
+
 def _sidecar_dir(make=False):
     """``<compile-cache-dir>/aot/<fingerprint>/`` or None if unavailable.
 
-    Prunes sibling fingerprint directories (stale code/env): the set of
+    Prunes stale sibling fingerprint directories (old code/env) beyond the
+    ``_KEEP_SIBLINGS`` most recently touched, once per process: the set of
     shipped warmup shapes is rewritten wholesale on any solver change, so
-    old artifacts can never be picked up again.
+    sufficiently old artifacts can never be picked up again.
     """
+    global _PRUNED
     import jax
     base = jax.config.jax_compilation_cache_dir
     if not base:
@@ -105,8 +115,12 @@ def _sidecar_dir(make=False):
     if make:
         try:
             target.mkdir(parents=True, exist_ok=True)
-            for sib in d.iterdir():
-                if sib.is_dir() and sib.name != fp:
+            if not _PRUNED:
+                _PRUNED = True
+                sibs = [s for s in d.iterdir()
+                        if s.is_dir() and s.name != fp]
+                sibs.sort(key=lambda s: s.stat().st_mtime, reverse=True)
+                for sib in sibs[_KEEP_SIBLINGS:]:
                     for f in sib.glob('*'):  # .pkl + any leaked .tmp
                         f.unlink(missing_ok=True)
                     try:

@@ -128,6 +128,29 @@ class device_scope:
         _THREAD_DEVICE.device = self._prev
 
 
+class thread_device_assigner:
+    """Round-robins ``devices`` onto EXECUTING THREADS (not job indices):
+    thread pools pull jobs at different rates, so an index-based mapping can
+    pin two in-flight jobs to the same chip while another sits idle. Each
+    thread gets a sticky device on its first call; combine with
+    :class:`device_scope` to pin that thread's solves."""
+
+    def __init__(self, devices):
+        self.devices = list(devices)
+        self._lock = _threading.Lock()
+        self._next = 0
+        self._tls = _threading.local()
+
+    def __call__(self):
+        dev = getattr(self._tls, 'device', None)
+        if dev is None:
+            with self._lock:
+                dev = self.devices[self._next % len(self.devices)]
+                self._next += 1
+            self._tls.device = dev
+        return dev
+
+
 def _mesh_batch_size(mesh):
     return int(mesh.shape['batch']) if mesh is not None else 1
 
@@ -494,9 +517,29 @@ class Problem:
 
     def fits_mask(self, pb):
         """Whether the bit-packed mask transfer can carry this problem at
-        pixel bucket ``pb`` (bbox bits within the buffer capacity)."""
+        pixel bucket ``pb`` (bbox bits within the buffer capacity, and
+        ``pts`` in strictly increasing row-major order within the crop).
+
+        The packed format collapses ``pts`` into a bitmask and the device
+        decode rebuilds the coordinates argwhere-sorted, while ``yv``/
+        ``init_params`` keep the given order — so a hand-built Problem with
+        unsorted or duplicate points would silently pair pixels with other
+        pixels' intensities. Such problems route to the explicit-coordinate
+        path instead (identical results, larger transfer)."""
         from .solver import MASK_BITS_PER_PIXEL
-        return self.crop_area <= pb * MASK_BITS_PER_PIXEL
+        if self.crop_area > pb * MASK_BITS_PER_PIXEL:
+            return False
+        ok = getattr(self, '_pts_rowmajor', None)
+        if ok is None:
+            h, w = self._crop_shape()
+            r, c = self.pts[:, 0].astype(np.int64), self.pts[:, 1].astype(np.int64)
+            lin = r * w + c
+            ok = bool((len(lin) == 0)
+                      or (np.all(lin[1:] > lin[:-1])
+                          and r[0] >= 0 and c.min() >= 0
+                          and r[-1] < h and c.max() < w))
+            self._pts_rowmajor = ok
+        return ok
 
     @property
     def n_deform(self):

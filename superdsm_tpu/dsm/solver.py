@@ -534,8 +534,10 @@ def _packbits_fg(fg_bool):
     """Packs a (B, P) boolean foreground into (B, P//8) uint8 on device
     (MSB-first, ``np.unpackbits`` layout). The fg mask is the largest fetch
     leaf of a solve round (P bytes/problem as uint8); through the ~50 MB/s
-    remote tunnel the 8x cut is a direct latency win. P buckets are powers
-    of two, so P % 8 == 0 always holds."""
+    remote tunnel the 8x cut is a direct latency win. Requires P % 8 == 0:
+    every ``batching.P_BUCKETS`` entry is a multiple of 2048 (pallas row-tile
+    alignment), which implies it — a non-multiple-of-8 bucket would fail the
+    reshape below."""
     B, P = fg_bool.shape
     bits = fg_bool.reshape(B, P // 8, 8).astype(jnp.uint8)
     weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)

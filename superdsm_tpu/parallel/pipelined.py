@@ -40,24 +40,19 @@ def process_images_pipelined(pipeline_factory, base_cfg, images, threads=2,
     :return: List of pipeline ``data`` dicts, aligned with ``images``.
     """
     from ..automation import process_image as _process_image
-    from ..dsm.batching import device_scope
+    from ..dsm.batching import device_scope, thread_device_assigner
     run_one = process_image or _process_image
     out = get_output(out)
 
     import threading
     local = threading.local()
-    assign = {'lock': threading.Lock(), 'next': 0}
+    assigner = thread_device_assigner(devices) if devices else None
 
     def worker(args):
         idx, img = args
         if not hasattr(local, 'pipeline'):
             local.pipeline = pipeline_factory()
-            if devices:
-                with assign['lock']:
-                    local.device = devices[assign['next'] % len(devices)]
-                    assign['next'] += 1
-            else:
-                local.device = None
+            local.device = assigner() if assigner else None
         cfg = base_cfg.copy()
         # split-tree speculation wins latency by spending extra device
         # compute; with several images overlapping the device is already

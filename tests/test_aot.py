@@ -89,7 +89,8 @@ def test_dispatch_identical_to_jit(tmp_path, fresh_fingerprint):
         aot._REGISTRY.update(saved)
 
 
-def test_production_dispatch_hits_warmed_keys(tmp_path, fresh_fingerprint):
+def test_production_dispatch_hits_warmed_keys(tmp_path, fresh_fingerprint,
+                                              monkeypatch):
     """End-to-end wiring: the keys ``warmup`` registers must be the keys the
     production dispatch sites look up (a silent mismatch would degrade every
     solve to the jit path), and the routed results must be identical.
@@ -115,9 +116,11 @@ def test_production_dispatch_hits_warmed_keys(tmp_path, fresh_fingerprint):
     aot._REGISTRY.clear()
     try:
         with _scoped_cache_dir(tmp_path):
-            seen_before = set(batching._RECORDED_SHAPES)
+            # fresh shape recorder (order-independence: an earlier test may
+            # have already solved and recorded this problem shape)
+            monkeypatch.setattr(batching, '_RECORDED_SHAPES', set())
             ref = solve()
-            shapes = sorted(set(batching._RECORDED_SHAPES) - seen_before)
+            shapes = sorted(batching._RECORDED_SHAPES)
             assert shapes, 'solve did not record its dispatched shapes'
             batching.warmup(shapes=shapes)
             assert aot._REGISTRY, 'warmup registered nothing'
@@ -159,9 +162,12 @@ def test_fetch_failure_drops_registry_and_retries(tmp_path,
     aot._REGISTRY.clear()
     try:
         with _scoped_cache_dir(tmp_path):
-            seen_before = set(batching._RECORDED_SHAPES)
+            # fresh shape recorder: an earlier test that already solved this
+            # problem shape would make the recorded-delta empty, leaving
+            # nothing to warm (order-dependent flake)
+            monkeypatch.setattr(batching, '_RECORDED_SHAPES', set())
             ref = solve()
-            shapes = sorted(set(batching._RECORDED_SHAPES) - seen_before)
+            shapes = sorted(batching._RECORDED_SHAPES)
             batching.warmup(shapes=shapes)
             n_reg = len(aot._REGISTRY)
             assert n_reg > 0
@@ -195,14 +201,29 @@ def test_fetch_failure_drops_registry_and_retries(tmp_path,
 
 def test_fingerprint_scopes_sidecars(tmp_path, fresh_fingerprint,
                                      monkeypatch):
+    import os
     with _scoped_cache_dir(tmp_path):
         d1 = aot._sidecar_dir(make=True)
         (d1 / 'dummy.pkl').write_bytes(b'x')
-        # a knob that alters traced programs must change the fingerprint
-        # dir (and the stale dir is pruned on next acquire-time make)
+        # a knob that alters traced programs must change the fingerprint dir
         monkeypatch.setenv('SDSM_GRAM_PASSES', '3')
         monkeypatch.setattr(aot, '_FPRINT', None)
         d2 = aot._sidecar_dir(make=True)
         assert d1 != d2
-        assert not (d1 / 'dummy.pkl').exists(), \
-            'stale fingerprint dir not pruned'
+
+        # pruning keeps the _KEEP_SIBLINGS most recent sibling dirs (so
+        # alternating env-knob A/B runs keep each other's sidecars) and
+        # removes older ones, once per process
+        for i in range(aot._KEEP_SIBLINGS + 1):
+            s = d2.parent / f'000000000000000{i}'
+            s.mkdir()
+            (s / 'dummy.pkl').write_bytes(b'x')
+            ts = 1_000_000_000 + i
+            os.utime(s, (ts, ts))
+        os.utime(d2.parent / '0000000000000000', (1, 1))  # the oldest
+        monkeypatch.setattr(aot, '_PRUNED', False)
+        aot._sidecar_dir(make=True)
+        assert not (d2.parent / '0000000000000000').exists(), \
+            'oldest stale fingerprint dir not pruned'
+        assert (d1 / 'dummy.pkl').exists(), \
+            'recent sibling (A/B workflow) was wrongly pruned'
