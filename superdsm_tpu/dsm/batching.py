@@ -887,7 +887,7 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                                         params0=inits, maxiter=maxiter, tol=tol,
                                         pb=pb, Bp=Bp, placer=placer,
                                         use_mask=use_mask)
-                pending.append(('poly', chunk, outs))
+                pending.append(('poly-m' if use_mask else 'poly', chunk, outs))
 
     from .solver import (_solve_dsm_packed_mask, MASK_BITS_PER_PIXEL)
     for (pb, kb), idxs in sorted(dsm_groups.items()):
@@ -975,7 +975,7 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                                             _solve_dsm_packed, args)
                     else:
                         outs = _solve_dsm_packed(*args)
-                pending.append(('dsm', chunk, outs))
+                pending.append(('dsm-m' if use_mask else 'dsm', chunk, outs))
                 if out is not None:
                     out.intermediate(
                         f'{progress_line}... dispatched '
@@ -1000,18 +1000,22 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
     # for telemetry.
     _idx = {'poly': dict(f=1, bad=3, fg=4, it=5),
             'dsm': dict(f=1, bad=4, fg=5, it=6)}
+
+    def _ix(kind):  # pending kinds carry the transfer format ('dsm-m' etc.)
+        return _idx['poly' if kind.startswith('poly') else 'dsm']
+
     if fetch == 'energy':
         sel = [(outs[ix['f']], outs[ix['bad']])
                for kind, _, outs in pending
-               for ix in (_idx[kind],)]
+               for ix in (_ix(kind),)]
     else:
         sel = [(outs[0], outs[ix['f']], outs[ix['bad']], outs[ix['fg']])
                for kind, _, outs in pending
-               for ix in (_idx[kind],)]
+               for ix in (_ix(kind),)]
     if _TELEMETRY:
         # iteration counters ride the same fetch (a second device_get would
         # cost another tunnel round trip and distort the timing it reports)
-        sel = (sel, [outs[_idx[kind]['it']] for kind, _, outs in pending])
+        sel = (sel, [outs[_ix(kind)['it']] for kind, _, outs in pending])
     try:
         fetched = _fetch_with_deadline(sel, timeout)
     except SolveTimeout:
@@ -1066,7 +1070,7 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                     params=None, energy=float(f[j]),
                     status='fallback' if bad[j] else 'optimal',
                     surface=None, fg=None, tag=problems[i].tag)
-        elif kind == 'poly':
+        elif kind.startswith('poly'):
             params, f, bad, fg = outs
             for j, i in enumerate(chunk):
                 p = problems[i]
