@@ -58,13 +58,17 @@ def _get_next_seed(region, where, score_img, connectivity=4):
     max_mask = np.logical_and(cache[1], mask)
     if max_mask.any():
         maxima = ndi.label(max_mask)[0]
-        maxima_labels = frozenset(maxima.reshape(-1)) - {0}
-        labels_arr = list(maxima_labels)
-        scores = dict(zip(labels_arr, np.atleast_1d(
-            ndi.maximum(score_img, labels=maxima, index=labels_arr))))
-        label = max(maxima_labels, key=scores.get)
-        if scores[label] > -np.inf:
-            return (maxima == label)
+        # component labels are consecutive small ints, so the previous
+        # ``frozenset(maxima.reshape(-1))`` iterated ascending (CPython small-
+        # int sets are collision-free here) and ``max`` kept the smallest
+        # label on score ties; ``np.unique`` + first-argmax reproduces that
+        # choice exactly, without the O(crop) Python-level set build
+        labels_arr = np.unique(maxima[max_mask])
+        scores = np.atleast_1d(
+            ndi.maximum(score_img, labels=maxima, index=labels_arr))
+        j = int(np.argmax(scores))
+        if scores[j] > -np.inf:
+            return (maxima == labels_arr[j])
     return None
 
 
