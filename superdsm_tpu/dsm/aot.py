@@ -49,6 +49,16 @@ _WARNED = set()
 #: jit path — ``misses`` after a covering warmup catches that).
 stats = {'hits': 0, 'misses': 0}
 
+#: Cumulative thread-seconds spent in :func:`acquire`, split by what the
+#: time actually was: ``deserialize_s`` covers sidecar hits
+#: (``deserialize_and_load`` — which includes the server-side program load
+#: through the device tunnel, NOT a compile) vs ``compile_s`` for fresh
+#: ``lower().compile()`` calls. ``warmup`` snapshots this
+#: around its compile phase so the benchmark's warmup split attributes
+#: tunnel-serialized loads honestly (the 2026-08-20 "compile 135.7 s"
+#: mislabel episode).
+timings = {'deserialize_s': 0.0, 'compile_s': 0.0}
+
 #: Env knobs that change the traced solver programs (see pallas_kernels.py,
 #: solver.py) — part of the sidecar fingerprint.
 _KNOBS = ('SDSM_GRAM_PASSES', 'SDSM_GRAM_BANDED', 'SDSM_GRAM_TRI',
@@ -159,19 +169,28 @@ def acquire(kind, pb, kb, Bp, statics, fn, args):
     from jax.experimental import serialize_executable as se
     d = _sidecar_dir(make=True) if _sidecars_ok() else None
     path = (d / _fname(key)) if d is not None else None
+    import time as _time
     exe = None
     if path is not None and path.exists():
+        t0 = _time.time()
         try:
             with open(path, 'rb') as f:
                 payload, in_tree, out_tree = pickle.load(f)
             exe = se.deserialize_and_load(payload, in_tree, out_tree)
         except Exception:
             exe = None  # corrupt/incompatible sidecar: fall through, rewrite
+        if exe is not None:
+            with _LOCK:
+                timings['deserialize_s'] += _time.time() - t0
     if exe is None:
+        t0 = _time.time()
         try:
             exe = fn.lower(*args).compile()
         except Exception:
             return
+        finally:
+            with _LOCK:
+                timings['compile_s'] += _time.time() - t0
         if path is not None:
             tmp = None
             try:

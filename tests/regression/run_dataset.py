@@ -45,6 +45,7 @@ Usage::
 """
 
 import argparse
+import os
 import pathlib
 import subprocess
 import sys
@@ -57,7 +58,10 @@ sys.path.insert(0, str(REPO))
 from tests.regression.validate import (load_csv, match_rows,  # noqa: E402
                                        summarize_label_map)
 
-REF_EXPECTED = pathlib.Path('/root/reference/tests/regression/expected')
+# Override with SDSM_REF_EXPECTED when the reference checkout lives
+# elsewhere (e.g. the CI dataset job clones it to a workspace path).
+REF_EXPECTED = pathlib.Path(os.environ.get(
+    'SDSM_REF_EXPECTED', '/root/reference/tests/regression/expected'))
 HOSTS = ('gpuagrohr', 'wladiwostok')
 
 #: taskdirs the reference validates (validate-*.sh), keyed by dataset name.
