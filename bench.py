@@ -196,6 +196,11 @@ def main():
         if watchdog is not None:
             watchdog.pet()
 
+    # optional multi-chip surface (SUPERDSM_TPU_MESH, e.g. 'batch:4'); no-op
+    # on the single-chip bench default
+    from superdsm_tpu.parallel.mesh import apply_env_mesh
+    apply_env_mesh()
+
     pipeline = create_default_pipeline()
     base_cfg = Config({'AF_scale': 12})
     out = get_output(None).derive(muted=True)

@@ -3,24 +3,25 @@
 Counterpart of the reference's ``superdsm/batch.py``
 (``/root/reference/superdsm/batch.py:29-570``): tasks are directories with a
 ``task.json`` spec inheriting from their parents; results are pickled per
-task; completion is tracked by MD5 config digests; reruns pick up mid-pipeline
-from the first stage whose configuration differs. The reference's per-task
-``ray.init`` cluster is unnecessary here — the device is fed by the batched
-solver — but the fork-per-task isolation of the CLI is retained so one
-failing task cannot corrupt the queue.
+task; completion is tracked by MD5 config digests; reruns pick up
+mid-pipeline from the first stage whose configuration differs. The
+reference's per-task ``ray.init`` cluster is unnecessary here — the device
+is fed by the batched solver — but the fork-per-task isolation of the CLI is
+retained so one failing task cannot corrupt the queue.
 
-PROVENANCE / compatibility note: this module is deliberately a
-*behavior-compatible port*, not a redesign. The ``task.json`` schema, the
-on-disk artifact layout (``data.dill.gz``, ``.digest`` + ``.digest.cfg.json``,
-``timings.csv``/``.timings.json``, ``performance.csv``, ``env.csv``,
-tar-gzipped logs), the pickup rules, and the CLI flags ARE the compatibility
-surface a reference user depends on when switching frameworks — changing
-their structure would break existing task trees and tooling for no TPU
-benefit (this is host-side orchestration; the TPU-first redesign lives in
-the solver/pipeline layers). Where behavior could be improved without
-breaking the surface, it was: sorted-key config digests, threaded
-host/device-overlapped file processing (``SUPERDSM_TPU_TASK_THREADS``),
-``--no-fork``, and a testable ``run_cli``.
+PROVENANCE note: the ON-DISK CONTRACT is intentionally compatible with the
+reference — the ``task.json`` schema (keys, inheritance, ``{DIRNAME}`` /
+``{ROOTDIR}`` placeholders, ``base_config_path`` includes), the artifact
+layout (``data.dill.gz``, ``.digest`` + ``.digest.cfg.json``,
+``timings.csv`` / ``.timings.json``, ``performance.csv``, ``env.csv``,
+tar-gzipped logs, ``/tmp/superdsm-status``), the pickup rules, and the CLI
+flags. A reference user's task trees and tooling keep working unchanged.
+The implementation behind that contract is this repo's own; deliberate
+behavioral improvements: sorted-key config digests, threaded host/device-
+overlapped file processing (``SUPERDSM_TPU_TASK_THREADS``), per-file fault
+isolation with ``errors.csv`` rows, multi-host ``--shard`` /
+``--merge-shards`` striping, ``--no-fork``, ``--mesh``, and a testable
+``run_cli``.
 
 CLI: ``python -m superdsm_tpu.batch <rootpath> --run``.
 """
@@ -48,29 +49,34 @@ from .automation import create_config
 from .config import Config
 from .globalenergymin import PerformanceReport
 
+DATA_DILL_GZ_FILENAME = 'data.dill.gz'
+
+#: Delimiter conventions of the report CSVs (part of the on-disk contract).
+_CSV_STYLE = dict(delimiter=';', quotechar='|', quoting=csv.QUOTE_MINIMAL)
+
+
+def _write_csv(path, rows):
+    with open(str(path), 'w', newline='') as fout:
+        csv.writer(fout, **_CSV_STYLE).writerows(rows)
+
 
 def _format_runtime(seconds):
-    seconds = int(round(seconds))
-    hours, remainder = divmod(seconds, 3600)
-    minutes, seconds = divmod(remainder, 60)
-    return f'{hours:02}:{minutes:02}:{seconds:02}'
+    hours, rest = divmod(int(round(seconds)), 3600)
+    return f'{hours:02}:{rest // 60:02}:{rest % 60:02}'
 
 
-def _resolve_pathpattern(pathpattern, fileid):
-    if pathpattern is None:
-        return None
-    return str(pathpattern) % fileid
+def _expand(pathpattern, fileid):
+    return None if pathpattern is None else str(pathpattern) % fileid
 
 
 def _process_file(dry, *args, out=None, **kwargs):
-    if dry:
-        out = get_output(out)
-        kwargs_serializable = copy_dict(kwargs)
-        if 'cfg' in kwargs_serializable:
-            kwargs_serializable['cfg'] = kwargs_serializable['cfg'].entries
-        out.write(f'_process_file: {json.dumps(kwargs_serializable, default=str)}')
-        return None, {}
-    return __process_file(*args, out=out, **kwargs)
+    if not dry:
+        return __process_file(*args, out=out, **kwargs)
+    shown = copy_dict(kwargs)
+    if 'cfg' in shown:
+        shown['cfg'] = shown['cfg'].entries
+    get_output(out).write(f'_process_file: {json.dumps(shown, default=str)}')
+    return None, {}
 
 
 def __process_file(pipeline, data, img_filepath, overlay_filepath, seg_filepath,
@@ -146,69 +152,44 @@ def __process_file(pipeline, data, img_filepath, overlay_filepath, seg_filepath,
 
 def find_first_differing_stage(pipeline, config1, config2):
     """Name of the first pipeline stage whose config entries differ
-    (cf. ``/root/reference/superdsm/batch.py:99-109``); '' if none differ."""
-    assert isinstance(config1, dict)
-    assert isinstance(config2, dict)
-    stage_names = [stage.name for stage in pipeline.stages]
-    if config1.get('AF_scale', None) != config2.get('AF_scale', None):
-        return stage_names[0]
-    for stage_name in stage_names:
-        in1, in2 = stage_name in config1, stage_name in config2
-        if in1 != in2 or (in1 and in2 and config1[stage_name] != config2[stage_name]):
-            return stage_name
-    return ''
+    (pickup contract, cf. ``/root/reference/superdsm/batch.py:99-109``);
+    '' if none differ."""
+    assert isinstance(config1, dict) and isinstance(config2, dict)
+    names = [stage.name for stage in pipeline.stages]
+    if config1.get('AF_scale') != config2.get('AF_scale'):
+        return names[0]
+    differs = lambda key: config1.get(key, _MISSING) != config2.get(key, _MISSING)
+    return next((name for name in names if differs(name)), '')
+
+
+_MISSING = object()
 
 
 def _resolve_timings_key(key, candidates):
-    for c in candidates:
-        if str(c) == key:
-            return c
-    raise ValueError(f'cannot resolve key "{key}"')
-
-
-def _find_task_rel_path(task):
-    if task.parent_task is not None:
-        return _find_task_rel_path(task.parent_task)
-    return task.path.parents[0]
+    """Maps a JSON string key back to the matching (possibly int) file id."""
+    matches = [c for c in candidates if str(c) == key]
+    if not matches:
+        raise ValueError(f'cannot resolve key "{key}"')
+    return matches[0]
 
 
 def _compress_logs(log_dir):
-    if log_dir is None:
+    if log_dir is None or not pathlib.Path(log_dir).is_dir():
         return
-    log_dir_path = pathlib.Path(log_dir)
-    if not log_dir_path.exists():
-        return
-    assert log_dir_path.is_dir()
     with tarfile.open(f'{log_dir}.tgz', 'w:gz') as tar:
         tar.add(log_dir, arcname=os.path.sep)
     shutil.rmtree(str(log_dir))
 
 
-def _write_performance_report(task_path, performance_path, data, overall_performance):
-    properties = ['direct_solution_success', 'iterative_pruning_success',
-                  'overall_pruning_success', 'nontrivial_pruning_success']
-    fields = PerformanceReport.attributes + properties
-    rows = [[str(task_path)], ['ID'] + fields]
-    get_row = lambda prefix, perf: [prefix] + [getattr(perf, field) for field in fields]
-    for file_id in data.keys():
-        # files skipped with an error row (errors.csv) have no result
-        if data[file_id] is not None and 'performance' in data[file_id]:
-            rows.append(get_row(str(file_id), data[file_id]['performance']))
-    rows.append(get_row('', overall_performance))
-    with open(str(performance_path), 'w', newline='') as fout:
-        csv_writer = csv.writer(fout, delimiter=';', quotechar='|', quoting=csv.QUOTE_MINIMAL)
-        for row in rows:
-            csv_writer.writerow(row)
-
-
-def _write_env_report(env_path):
-    with open(str(env_path), 'w', newline='') as fout:
-        csv_writer = csv.writer(fout, delimiter=';', quotechar='|', quoting=csv.QUOTE_MINIMAL)
-        for env_key, env_val in os.environ.items():
-            csv_writer.writerow([env_key, env_val])
-
-
-DATA_DILL_GZ_FILENAME = 'data.dill.gz'
+def _performance_rows(task_path, data, overall):
+    fields = PerformanceReport.attributes + [
+        'direct_solution_success', 'iterative_pruning_success',
+        'overall_pruning_success', 'nontrivial_pruning_success']
+    as_row = lambda tag, perf: [tag] + [getattr(perf, f) for f in fields]
+    per_file = [as_row(str(fid), entry['performance'])
+                for fid, entry in data.items()
+                if entry is not None and 'performance' in entry]
+    return [[str(task_path)], ['ID'] + fields] + per_file + [as_row('', overall)]
 
 
 def _shard_tag(index, count):
@@ -231,117 +212,140 @@ class Task:
     :param parent_task: The parent task, or ``None``.
     """
 
+    #: Standard artifact files of a runnable task (on-disk contract).
+    _ARTIFACTS = dict(result_path=DATA_DILL_GZ_FILENAME,
+                      timings_path='timings.csv',
+                      timings_json_path='.timings.json',
+                      performance_path='performance.csv',
+                      env_path='env.csv',
+                      digest_path='.digest',
+                      digest_cfg_path='.digest.cfg.json')
+
+    #: Per-file output path patterns, relative to the task directory.
+    _PATHPATTERNS = ('seg', 'adj', 'log', 'cfg', 'overlay')
+
+    #: Scalar task.json knobs: attribute <- (spec key, default).
+    _KNOBS = dict(seg_border=('seg_border', None),
+                  dilate=('dilate', 0),
+                  merge_threshold=('merge_overlap_threshold', np.inf),
+                  last_stage=('last_stage', None),
+                  environ=('environ', {}))
+
     def __init__(self, path, data, parent_task=None):
         self.runnable = bool(data.get('runnable', False))
         self.parent_task = parent_task
         self.path = path
-        self.data = Config(data) if parent_task is None else Config(parent_task.data).derive(data)
-        self.rel_path = _find_task_rel_path(self)
+        self.data = (Config(data) if parent_task is None
+                     else Config(parent_task.data).derive(data))
+        root = self
+        while root.parent_task is not None:
+            root = root.parent_task
+        self.rel_path = root.path.parents[0]
         self.file_ids = (sorted(frozenset(self.data.entries['file_ids']))
                          if 'file_ids' in self.data else None)
         self.img_pathpattern = self.data.update(
             'img_pathpattern', lambda p: str(self.resolve_path(p)))
-
-        if 'base_config_path' in self.data:
-            base_config_path = self.resolve_path(self.data['base_config_path'])
-            with base_config_path.open('r') as base_config_fin:
-                base_config = json.load(base_config_fin)
-            parent_config = parent_task.data.get('config', Config())
-            if isinstance(parent_config, dict):
-                parent_config = Config(parent_config)
-            self.data['config'] = parent_config.derive(base_config).merge(
-                data.get('config', {})).entries
-            del self.data.entries['base_config_path']
-
+        self._absorb_base_config(data)
         if self.runnable:
             assert self.file_ids is not None
             assert self.img_pathpattern is not None
+            self._setup_artifacts()
 
-            concat = lambda p1, p2: (p1 / p2) if p2 is not None else None
-            self.seg_pathpattern = concat(path, self.data.entries.get('seg_pathpattern', None))
-            self.adj_pathpattern = concat(path, self.data.entries.get('adj_pathpattern', None))
-            self.log_pathpattern = concat(path, self.data.entries.get('log_pathpattern', None))
-            self.cfg_pathpattern = concat(path, self.data.entries.get('cfg_pathpattern', None))
-            self.overlay_pathpattern = concat(path, self.data.entries.get('overlay_pathpattern', None))
-            self.result_path = path / DATA_DILL_GZ_FILENAME
-            self.timings_path = path / 'timings.csv'
-            self.performance_path = path / 'performance.csv'
-            self.env_path = path / 'env.csv'
-            self.timings_json_path = path / '.timings.json'
-            self.digest_path = path / '.digest'
-            self.digest_cfg_path = path / '.digest.cfg.json'
-            config = self.data.get('config', {})
-            self.config = config if isinstance(config, Config) else Config(config)
-            self.seg_border = self.data.entries.get('seg_border', None)
-            self.dilate = self.data.entries.get('dilate', 0)
-            self.merge_threshold = self.data.entries.get('merge_overlap_threshold', np.inf)
-            self.last_stage = self.data.entries.get('last_stage', None)
-            self.environ = self.data.entries.get('environ', {})
+    def _absorb_base_config(self, data):
+        """Folds a ``base_config_path`` include between the parent's config
+        and this task's own overrides (task.json inheritance contract)."""
+        if 'base_config_path' not in self.data:
+            return
+        include_path = self.resolve_path(self.data['base_config_path'])
+        base_config = json.loads(include_path.read_text())
+        parent_config = self.parent_task.data.get('config', Config())
+        if isinstance(parent_config, dict):
+            parent_config = Config(parent_config)
+        self.data['config'] = parent_config.derive(base_config).merge(
+            data.get('config', {})).entries
+        del self.data.entries['base_config_path']
+
+    def _setup_artifacts(self):
+        spec = self.data.entries
+        for name in self._PATHPATTERNS:
+            raw = spec.get(f'{name}_pathpattern')
+            setattr(self, f'{name}_pathpattern',
+                    (self.path / raw) if raw is not None else None)
+        for attr, filename in self._ARTIFACTS.items():
+            setattr(self, attr, self.path / filename)
+        for attr, (key, default) in self._KNOBS.items():
+            setattr(self, attr, spec.get(key, default))
+        config = self.data.get('config', {})
+        self.config = config if isinstance(config, Config) else Config(config)
 
     def resolve_path(self, path):
         if path is None:
             return None
-        path = pathlib.Path(os.path.expanduser(str(path))
-                            .replace('{DIRNAME}', self.path.name)
-                            .replace('{ROOTDIR}', str(self.root_path)))
+        expanded = (os.path.expanduser(str(path))
+                    .replace('{DIRNAME}', self.path.name)
+                    .replace('{ROOTDIR}', str(self.root_path)))
+        path = pathlib.Path(expanded)
         if path.is_absolute():
             return path.resolve()
         return path.resolve().relative_to(os.getcwd())
 
     @staticmethod
-    def create_from_directory(task_dir, parent_task, override_cfg={}, force_runnable=False):
+    def create_from_directory(task_dir, parent_task, override_cfg={},
+                              force_runnable=False):
         """Loads a task from a directory containing ``task.json`` (or ``None``)."""
-        task_file = task_dir / 'task.json'
-        if task_file.exists():
-            try:
-                with task_file.open('r') as task_fin:
-                    task_data = json.load(task_fin)
-                if force_runnable:
-                    task_data['runnable'] = True
-                task = Task(task_dir, task_data, parent_task)
-                for key in override_cfg:
-                    setattr(task, key, override_cfg[key])
-                return task
-            except Exception:
-                raise ValueError(f'Error processing: "{task_file}"')
-        return None
+        spec_path = task_dir / 'task.json'
+        if not spec_path.exists():
+            return None
+        try:
+            spec = json.loads(spec_path.read_text())
+            if force_runnable:
+                spec['runnable'] = True
+            task = Task(task_dir, spec, parent_task)
+            for key, value in override_cfg.items():
+                setattr(task, key, value)
+        except Exception:
+            raise ValueError(f'Error processing: "{spec_path}"')
+        return task
 
     @property
     def root_path(self):
         """The root path of the task tree."""
-        if self.parent_task is not None:
-            return self.parent_task.root_path
-        return self.path
+        return self.path if self.parent_task is None \
+            else self.parent_task.root_path
 
     def _fmt_path(self, path):
-        if isinstance(path, str):
-            path = pathlib.Path(path)
-        if self.rel_path is None:
-            return str(path)
-        return str(path.relative_to(self.rel_path))
+        path = pathlib.Path(path)
+        return str(path if self.rel_path is None
+                   else path.relative_to(self.rel_path))
 
     def _initialize(self):
-        for key, val in self.environ.items():
-            os.environ[key] = str(val)
+        os.environ.update({k: str(v) for k, v in self.environ.items()})
+        # multi-chip surface: task.json "environ" or the --mesh flag set
+        # SUPERDSM_TPU_MESH; solves then shard over the mesh batch axis
+        from .parallel.mesh import apply_env_mesh
+        apply_env_mesh()
         return create_default_pipeline()
 
     def _load_timings(self):
-        if self.timings_json_path.exists():
-            with self.timings_json_path.open('r') as fin:
-                timings = json.load(fin)
-            return {_resolve_timings_key(key, self.file_ids): timings[key] for key in timings}
-        return {}
+        if not self.timings_json_path.exists():
+            return {}
+        stored = json.loads(self.timings_json_path.read_text())
+        return {_resolve_timings_key(key, self.file_ids): value
+                for key, value in stored.items()}
 
     @property
     def config_digest(self):
         """MD5 digest of the task's hyperparameters."""
         return self.config.md5.hexdigest()
 
+    def _digest_current(self, digest_path):
+        return digest_path.exists() and \
+            digest_path.read_text() == self.config_digest
+
     @property
     def is_pending(self):
         """Whether the task still needs to run (digest mismatch or absent)."""
-        return self.runnable and not (self.digest_path.exists()
-                                      and self.digest_path.read_text() == self.config_digest)
+        return self.runnable and not self._digest_current(self.digest_path)
 
     # ------------------------------------------------------------------
     # Multi-host dispatch (host-level data parallelism over images).
@@ -366,9 +370,8 @@ class Task:
         return self.path / f'.timings.{_shard_tag(index, count)}.json'
 
     def is_pending_shard(self, index, count):
-        p = self.shard_digest_path(index, count)
-        return self.runnable and not (p.exists()
-                                      and p.read_text() == self.config_digest)
+        return self.runnable and \
+            not self._digest_current(self.shard_digest_path(index, count))
 
     def merge_shards(self, count, out=None):
         """Combines the ``count`` per-shard results into the standard task
@@ -434,54 +437,18 @@ class Task:
                 data.update(dill.load(fin))
             p = self.shard_timings_path(i, count)
             if p.exists():
-                with p.open('r') as fin:
-                    shard_timings = json.load(fin)
+                shard_timings = json.loads(p.read_text())
                 timings.update({_resolve_timings_key(k, self.file_ids): v
                                 for k, v in shard_timings.items()})
         data = {fid: data.get(fid) for fid in self.file_ids}
         performance = PerformanceReport()
-        for fid in self.file_ids:
-            if data[fid] is not None and 'performance' in data[fid]:
-                performance += data[fid]['performance']
+        for entry in data.values():
+            if entry is not None and 'performance' in entry:
+                performance += entry['performance']
         if timings:
             self.write_timings(timings)
-        with gzip.open(self.result_path, 'wb') as fout:
-            dill.dump(data, fout, byref=True)
-        with self.digest_cfg_path.open('w') as fout:
-            self.config.dump_json(fout)
-        _write_performance_report(
-            self.path, self.performance_path,
-            {fid: v for fid, v in data.items()
-             if v is not None and 'performance' in v},
-            performance)
-        _write_env_report(self.env_path)
-        self.digest_path.write_text(self.config_digest)
-        # fold per-shard error sidecars into errors.csv: a merged shard's
-        # rows replace any previous rows for its file stripe
-        error_rows = {}
-        main_errors_path = self.path / 'errors.csv'
-        if main_errors_path.exists():
-            with main_errors_path.open('r', newline='') as fin:
-                rows = list(csv.reader(fin))[1:]
-            error_rows = {row[0]: row[1] for row in rows if len(row) == 2}
-        for i in merge_ids:
-            stripe = {str(fid) for fid in self.file_ids[i::count]}
-            error_rows = {fid: e for fid, e in error_rows.items()
-                          if fid not in stripe}
-            sidecar = self.path / f'errors.{_shard_tag(i, count)}.csv'
-            if sidecar.exists():
-                with sidecar.open('r', newline='') as fin:
-                    rows = list(csv.reader(fin))[1:]
-                error_rows.update({row[0]: row[1] for row in rows
-                                   if len(row) == 2})
-                sidecar.unlink()
-        if error_rows:
-            with main_errors_path.open('w', newline='') as fout:
-                writer = csv.writer(fout)
-                writer.writerow(['file_id', 'error'])
-                writer.writerows(sorted(error_rows.items()))
-        else:
-            main_errors_path.unlink(missing_ok=True)
+        self._write_results(data, performance)
+        self._merge_error_sidecars(merge_ids, count)
         for i in merge_ids:
             self.shard_result_path(i, count).unlink()
             self.shard_digest_path(i, count).unlink()
@@ -489,6 +456,43 @@ class Task:
         out.write(f'Merged {len(merge_ids)} shard(s): '
                   f'{self._fmt_path(self.result_path)}')
         return data
+
+    def _write_results(self, data, performance):
+        """Writes the standard task artifacts and marks the digest current."""
+        with gzip.open(self.result_path, 'wb') as fout:
+            dill.dump(data, fout, byref=True)
+        with self.digest_cfg_path.open('w') as fout:
+            self.config.dump_json(fout)
+        _write_csv(self.performance_path,
+                   _performance_rows(self.path, data, performance))
+        _write_csv(self.env_path, sorted(os.environ.items()))
+        self.digest_path.write_text(self.config_digest)
+
+    def _merge_error_sidecars(self, merge_ids, count):
+        """Folds per-shard error sidecars into ``errors.csv``: a merged
+        shard's rows replace any previous rows for its file stripe."""
+        main_path = self.path / 'errors.csv'
+        rows = {}
+        if main_path.exists():
+            with main_path.open('r', newline='') as fin:
+                rows = {r[0]: r[1] for r in list(csv.reader(fin))[1:]
+                        if len(r) == 2}
+        for i in merge_ids:
+            stripe = {str(fid) for fid in self.file_ids[i::count]}
+            rows = {fid: err for fid, err in rows.items() if fid not in stripe}
+            sidecar = self.path / f'errors.{_shard_tag(i, count)}.csv'
+            if sidecar.exists():
+                with sidecar.open('r', newline='') as fin:
+                    rows.update({r[0]: r[1] for r in list(csv.reader(fin))[1:]
+                                 if len(r) == 2})
+                sidecar.unlink()
+        if rows:
+            with main_path.open('w', newline='') as fout:
+                writer = csv.writer(fout)
+                writer.writerow(['file_id', 'error'])
+                writer.writerows(sorted(rows.items()))
+        else:
+            main_path.unlink(missing_ok=True)
 
     def run(self, task_info=None, dry=False, verbosity=0, force=False, one_shot=False,
             debug=False, report=None, pickup=True, out=None, shard=None):
@@ -500,12 +504,10 @@ class Task:
             out.write(f'\nSkipping task: {self._fmt_path(self.path)} '
                       f'{"" if task_info is None else f"({task_info})"}')
             return
-        if self.last_stage is not None:
-            task_info = (f'{task_info}, ' if task_info is not None else '') + \
-                f'last stage: {self.last_stage}'
-        if shard is not None:
-            task_info = (f'{task_info}, ' if task_info is not None else '') + \
-                f'shard {shard[0] + 1}/{shard[1]}'
+        info_parts = ([] if task_info is None else [str(task_info)]) \
+            + ([] if self.last_stage is None else [f'last stage: {self.last_stage}']) \
+            + ([] if shard is None else [f'shard {shard[0] + 1}/{shard[1]}'])
+        task_info = ', '.join(info_parts) if info_parts else None
         out.write(Text.style(f'\nEntering task: {self._fmt_path(self.path)} '
                              f'{"" if task_info is None else f"({task_info})"}', Text.BLUE))
         out2 = out.derive(margin=2)
@@ -522,11 +524,11 @@ class Task:
 
             def _file_kwargs(file_id):
                 kwargs = dict(img_filepath=str(self.img_pathpattern) % file_id,
-                              seg_filepath=_resolve_pathpattern(self.seg_pathpattern, file_id),
-                              adj_filepath=_resolve_pathpattern(self.adj_pathpattern, file_id),
-                              log_filepath=_resolve_pathpattern(self.log_pathpattern, file_id),
-                              cfg_filepath=_resolve_pathpattern(self.cfg_pathpattern, file_id),
-                              overlay_filepath=_resolve_pathpattern(self.overlay_pathpattern, file_id),
+                              seg_filepath=_expand(self.seg_pathpattern, file_id),
+                              adj_filepath=_expand(self.adj_pathpattern, file_id),
+                              log_filepath=_expand(self.log_pathpattern, file_id),
+                              cfg_filepath=_expand(self.cfg_pathpattern, file_id),
+                              overlay_filepath=_expand(self.overlay_pathpattern, file_id),
                               rasterize_kwargs=dict(merge_overlap_threshold=self.merge_threshold,
                                                     dilate=self.dilate),
                               seg_border=self.seg_border,
@@ -539,9 +541,7 @@ class Task:
 
             def _finish_file(file_id, result, _timings):
                 data[file_id] = result
-                if file_id not in timings:
-                    timings[file_id] = {}
-                timings[file_id].update(_timings)
+                timings.setdefault(file_id, {}).update(_timings)
                 if not dry and result is not None and 'performance' in result:
                     nonlocal_performance[0] += result['performance']
 
@@ -565,8 +565,7 @@ class Task:
             file_errors = []
             nonlocal_performance = [performance]
             for file_id in file_ids:
-                if file_id not in data:
-                    data[file_id] = None
+                data.setdefault(file_id, None)
 
             n_threads = int(os.environ.get('SUPERDSM_TPU_TASK_THREADS', '3'))
             if not dry and n_threads > 1 and len(file_ids) > 1:
@@ -591,7 +590,7 @@ class Task:
                         file_id,
                         dry, local.pipeline, data[file_id], first_stage=first_stage,
                         out=out3.derive(muted=True), **kwargs)
-                    _compress_logs(_resolve_pathpattern(self.log_pathpattern, file_id))
+                    _compress_logs(_expand(self.log_pathpattern, file_id))
                     return file_id, result, _timings
 
                 done = 0
@@ -687,12 +686,7 @@ class Task:
                 if not dry:
                     self.write_timings(timings)
                     out2.intermediate(f'Writing results... {self._fmt_path(self.result_path)}')
-                    with gzip.open(self.result_path, 'wb') as fout:
-                        dill.dump(data, fout, byref=True)
-                    with self.digest_cfg_path.open('w') as fout:
-                        self.config.dump_json(fout)
-                    _write_performance_report(self.path, self.performance_path, data, performance)
-                    _write_env_report(self.env_path)
+                    self._write_results(data, performance)
                 out2.write(Text.style('Results written to: ', Text.BOLD)
                            + self._fmt_path(self.result_path))
             if not dry and not one_shot:
@@ -710,44 +704,42 @@ class Task:
                                  Text.RED))
             raise
 
+    def _pickup_candidates(self, pipeline):
+        """(task, first differing stage) pairs this task could resume from:
+        the nearest runnable ancestor with a result, and its own previous
+        result (via the ``.digest.cfg.json`` it was produced under)."""
+        candidates = []
+        ancestor = self.find_parent_task_with_result()
+        if ancestor is not None:
+            candidates.append((ancestor, find_first_differing_stage(
+                pipeline, self.config.entries, ancestor.config.entries)))
+        if self.result_path.exists() and self.digest_cfg_path.exists():
+            own_previous = json.loads(self.digest_cfg_path.read_text())
+            candidates.append((self, find_first_differing_stage(
+                pipeline, self.config.entries, own_previous)))
+        return candidates
+
     def find_runnable_parent_task(self):
-        if self.parent_task is None:
-            return None
-        if self.parent_task.runnable:
-            return self.parent_task
-        return self.parent_task.find_runnable_parent_task()
+        task = self.parent_task
+        while task is not None and not task.runnable:
+            task = task.parent_task
+        return task
 
     def find_parent_task_with_result(self):
-        runnable_parent_task = self.find_runnable_parent_task()
-        if runnable_parent_task is None:
-            return None
-        if runnable_parent_task.result_path.exists():
-            return runnable_parent_task
-        return runnable_parent_task.find_parent_task_with_result()
-
-    def find_pickup_candidates(self, pipeline):
-        pickup_candidates = []
-        previous_task = self.find_parent_task_with_result()
-        if previous_task is not None:
-            first_stage = find_first_differing_stage(pipeline, self.config.entries,
-                                                     previous_task.config.entries)
-            pickup_candidates.append((previous_task, first_stage))
-        if self.result_path.exists() and self.digest_cfg_path.exists():
-            with self.digest_cfg_path.open('r') as fin:
-                config = json.load(fin)
-            first_stage = find_first_differing_stage(pipeline, self.config.entries, config)
-            pickup_candidates.append((self, first_stage))
-        return pickup_candidates
+        task = self.find_runnable_parent_task()
+        while task is not None and not task.result_path.exists():
+            task = task.find_runnable_parent_task()
+        return task
 
     def find_best_pickup_candidate(self, pipeline):
-        pickup_candidates = self.find_pickup_candidates(pipeline)
-        if len(pickup_candidates) == 0:
+        """The resumable result allowing the latest restart stage."""
+        candidates = self._pickup_candidates(pipeline)
+        if not candidates:
             return None, None
-        scores = [pipeline.find(first_stage) for task, first_stage in pickup_candidates]
-        return pickup_candidates[int(np.argmax(scores))]
+        return max(candidates, key=lambda c: pipeline.find(c[1]))
 
     def find_first_stage_name(self, pipeline, dry=False, pickup=True, out=None):
-        """Determines the stage to start from (pickup; cf.
+        """Determines the stage to start from (pickup contract; cf.
         ``/root/reference/superdsm/batch.py:393-405``)."""
         out = get_output(out)
         pickup_task, stage_name = (self.find_best_pickup_candidate(pipeline)
@@ -756,30 +748,24 @@ class Task:
             return None, {}
         out.write(f'Picking up from: {self._fmt_path(pickup_task.result_path)} '
                   f'({stage_name if stage_name != "" else "load"})')
-        if not dry:
-            with gzip.open(pickup_task.result_path, 'rb') as fin:
-                data = dill.load(fin)
-            return stage_name, data
-        return stage_name, {}
+        if dry:
+            return stage_name, {}
+        with gzip.open(pickup_task.result_path, 'rb') as fin:
+            return stage_name, dill.load(fin)
 
     def write_timings(self, timings):
-        file_ids = timings.keys()
-        stage_names = sorted(list(timings.values())[0].keys())
-        rows = [[str(self.path)], ['ID'] + stage_names + ['total']]
-        totals = np.zeros(len(stage_names) + 1)
-        for file_id in file_ids:
-            vals = [timings[file_id].get(stage_name, 0) for stage_name in stage_names]
-            vals += [sum(vals)]
-            rows.append([file_id] + [_format_runtime(val) for val in vals])
-            totals += np.asarray(vals)
-        rows.append([''] + [_format_runtime(val) for val in totals])
-        with self.timings_path.open('w', newline='') as fout:
-            csv_writer = csv.writer(fout, delimiter=';', quotechar='|',
-                                    quoting=csv.QUOTE_MINIMAL)
-            for row in rows:
-                csv_writer.writerow(row)
-        with self.timings_json_path.open('w') as fout:
-            json.dump({str(k): v for k, v in timings.items()}, fout)
+        stage_names = sorted(next(iter(timings.values())).keys())
+        header = [[str(self.path)], ['ID'] + stage_names + ['total']]
+        body, totals = [], np.zeros(len(stage_names) + 1)
+        for file_id, per_stage in timings.items():
+            vals = [per_stage.get(name, 0) for name in stage_names]
+            vals.append(sum(vals))
+            body.append([file_id] + [_format_runtime(v) for v in vals])
+            totals += vals
+        footer = [[''] + [_format_runtime(v) for v in totals]]
+        _write_csv(self.timings_path, header + body + footer)
+        self.timings_json_path.write_text(
+            json.dumps({str(k): v for k, v in timings.items()}))
 
 
 class BatchLoader:
@@ -791,32 +777,26 @@ class BatchLoader:
 
     def load(self, path):
         """Loads all tasks from the root directory ``path``."""
-        root_path = pathlib.Path(path)
-        self._process_directory(root_path)
+        self._walk(pathlib.Path(path), None)
 
-    def _process_directory(self, current_dir, parent_task=None):
-        task = Task.create_from_directory(current_dir, parent_task, self.override_cfg)
+    def _walk(self, directory, parent_task):
+        task = Task.create_from_directory(directory, parent_task,
+                                          self.override_cfg)
         if task is not None:
             self.tasks.append(task)
-            parent_task = task
-        for d in sorted(os.listdir(current_dir)):
-            f = current_dir / d
-            if f.is_dir():
-                self._process_directory(f, parent_task)
+        for child in sorted(p for p in directory.iterdir() if p.is_dir()):
+            self._walk(child, task or parent_task)
 
 
 def get_path(root_path, path):
-    if isinstance(root_path, str):
-        root_path = pathlib.Path(root_path)
-    if isinstance(path, str):
-        path = pathlib.Path(path)
-    if path.is_absolute():
-        return path
-    return pathlib.Path(root_path) / path
+    path = pathlib.Path(path)
+    return path if path.is_absolute() else pathlib.Path(root_path) / path
 
 
 class StatusReport:
     """Live status file of the batch queue (pending/active/done/error)."""
+
+    _PREFIX = {'pending': ' o ', 'done': ' ✓ ', 'active': '-> ', 'error': 'EE '}
 
     def __init__(self, scheduled_tasks, filepath=None):
         self.scheduled_tasks = scheduled_tasks
@@ -828,12 +808,10 @@ class StatusReport:
         return self.status.get(str(task.path), 'skipped')
 
     def update(self, task, status, save=True):
-        if isinstance(status, float):
-            self.task_progress = status
+        self.task_progress = status if isinstance(status, float) else None
+        if self.task_progress is not None:
             status = 'active'
-        else:
-            self.task_progress = None
-        assert status in ('pending', 'done', 'active', 'error')
+        assert status in self._PREFIX
         if status in ('done', 'active') and self.get_task_status(task) == 'skipped':
             return
         self.status[str(task.path)] = status
@@ -843,32 +821,24 @@ class StatusReport:
     def save(self):
         if self.filepath is None:
             return
+        lines, skipped = [], []
+        for task in self.scheduled_tasks:
+            status = self.get_task_status(task)
+            if status == 'skipped':
+                skipped.append(task)
+                continue
+            suffix = (f' ({100 * self.task_progress:.0f}%)'
+                      if status == 'active' and self.task_progress is not None
+                      else '')
+            lines.append(f'{self._PREFIX[status]}{task.path}{suffix}')
+        if skipped:
+            lines += ['', 'Skipped tasks:'] \
+                + [f'- {task.path}' for task in skipped]
         with open(str(self.filepath), 'w') as fout:
-            skipped_tasks = []
-            for task in self.scheduled_tasks:
-                status = self.get_task_status(task)
-                prefix, suffix = '', ''
-                if status == 'skipped':
-                    skipped_tasks.append(task)
-                    continue
-                elif status == 'pending':
-                    prefix = ' o '
-                elif status == 'done':
-                    prefix = ' ✓ '
-                elif status == 'active':
-                    prefix = '-> '
-                elif status == 'error':
-                    prefix = 'EE '
-                if status == 'active' and self.task_progress is not None:
-                    suffix = f' ({100 * self.task_progress:.0f}%)'
-                fout.write(f'{prefix}{task.path}{suffix}\n')
-            if len(skipped_tasks) > 0:
-                fout.write('\nSkipped tasks:\n')
-                for task in skipped_tasks:
-                    fout.write(f'- {str(task.path)}\n')
+            fout.write(''.join(line + '\n' for line in lines))
 
 
-def run_cli(args=None):
+def _build_arg_parser():
     import argparse
     parser = argparse.ArgumentParser()
     parser.add_argument('path', help='root directory for batch processing')
@@ -895,6 +865,42 @@ def run_cli(args=None):
                         'run --merge-shards N afterwards)', type=str, default=None)
     parser.add_argument('--merge-shards', help='merge N per-shard results into the '
                         'standard task artifacts', type=int, default=None)
+    parser.add_argument('--mesh', help='shard every solver batch over a device '
+                        "mesh, e.g. '8', 'batch:4', or 'batch:4,pixel:2' "
+                        '(sets SUPERDSM_TPU_MESH; replaces the reference\'s '
+                        'ray.init worker-count knob)', type=str, default=None)
+    return parser
+
+
+def _selected(task, args):
+    """Whether the task matches the --task / --task-dir filters."""
+    if not args.task and not args.task_dir:
+        return True
+    return any(task.path == path for path in args.task) \
+        or any(is_subpath(path, task.path) for path in args.task_dir)
+
+
+def _fork_run(task, run_kwargs, report, out):
+    """Runs the task in a forked child (one failing task cannot corrupt the
+    parent queue); raises SystemExit on a child failure."""
+    child = os.fork()
+    if child == 0:
+        try:
+            task.run(**run_kwargs)
+        except Exception:
+            report.update(task, 'error')
+            import traceback
+            traceback.print_exc()
+            os._exit(1)
+        os._exit(0)
+    if os.waitpid(child, 0)[1] != 0:
+        out.write('An error occurred: interrupting')
+        sys.exit(1)
+    report.update(task, 'done')
+
+
+def run_cli(args=None):
+    parser = _build_arg_parser()
     args = parser.parse_args(args)
 
     if args.last_stage is not None and not args.oneshot:
@@ -902,16 +908,23 @@ def run_cli(args=None):
     if args.shard is not None and args.merge_shards is not None:
         parser.error('"--shard" and "--merge-shards" are mutually exclusive')
     shard = parse_shard(args.shard) if args.shard is not None else None
+    if args.mesh is not None:
+        # validated eagerly for a clean CLI error; installed per task by
+        # Task._initialize (fork children inherit the env var)
+        from .parallel.mesh import parse_mesh_spec
+        try:
+            parse_mesh_spec(args.mesh)
+        except (ValueError, AssertionError) as error:
+            parser.error(str(error))
+        os.environ['SUPERDSM_TPU_MESH'] = args.mesh
 
-    override_cfg = dict()
-    if args.last_stage is not None:
-        override_cfg['last_stage'] = args.last_stage
-
+    override_cfg = ({} if args.last_stage is None
+                    else {'last_stage': args.last_stage})
     loader = BatchLoader(override_cfg=override_cfg)
     loader.load(args.path)
 
-    args.task = [get_path(args.path, task_path) for task_path in args.task]
-    args.task_dir = [get_path(args.path, task_dir_path) for task_dir_path in args.task_dir]
+    args.task = [get_path(args.path, p) for p in args.task]
+    args.task_dir = [get_path(args.path, p) for p in args.task_dir]
 
     dry = not args.run
     out = get_output()
@@ -919,20 +932,18 @@ def run_cli(args=None):
     out.write(f'Loaded {len(runnable_tasks)} runnable task(s)')
     if dry:
         out.write('DRY RUN: use "--run" to run the tasks instead')
-    scheduled_tasks = []
-    run_task_count = 0
-    pending_tasks_count = 0
+
+    def pending(task):
+        return args.force or (task.is_pending if shard is None
+                              else task.is_pending_shard(*shard))
+
+    scheduled_tasks = [t for t in runnable_tasks if _selected(t, args)]
     report = StatusReport(scheduled_tasks, filepath=None if dry else args.report)
-    for task in runnable_tasks:
-        if (len(args.task) > 0 or len(args.task_dir) > 0) and \
-                all(task.path != path for path in args.task) and \
-                all(not is_subpath(path, task.path) for path in args.task_dir):
-            continue
-        scheduled_tasks.append(task)
-        if (task.is_pending if shard is None else task.is_pending_shard(*shard)) \
-                or args.force:
-            pending_tasks_count += 1
+    for task in scheduled_tasks:
+        if pending(task):
             report.update(task, 'pending', save=False)
+    pending_count = sum(pending(t) for t in scheduled_tasks)
+
     if args.merge_shards is not None:
         for task in scheduled_tasks:
             if dry:
@@ -948,41 +959,29 @@ def run_cli(args=None):
             else:
                 task.merge_shards(args.merge_shards, out=out)
         return
+
+    run_count = 0
     for task in scheduled_tasks:
-        if (task.is_pending if shard is None else task.is_pending_shard(*shard)) \
-                or args.force:
-            run_task_count += 1
-            task_info = f'{run_task_count} of {pending_tasks_count}'
+        if pending(task):
+            run_count += 1
+            task_info = f'{run_count} of {pending_count}'
         else:
             task_info = None
         report.update(task, 'active')
+        run_kwargs = dict(task_info=task_info, dry=dry, verbosity=args.verbosity,
+                          force=args.force, one_shot=args.oneshot,
+                          debug=args.debug, report=report,
+                          pickup=not args.fresh, out=out, shard=shard)
         if args.no_fork:
             try:
-                task.run(task_info, dry, args.verbosity, args.force, args.oneshot,
-                         args.debug, report, not args.fresh, out, shard=shard)
+                task.run(**run_kwargs)
                 report.update(task, 'done')
             except Exception:
                 report.update(task, 'error')
                 raise
         else:
-            newpid = os.fork()
-            if newpid == 0:
-                try:
-                    task.run(task_info, dry, args.verbosity, args.force, args.oneshot,
-                             args.debug, report, not args.fresh, out, shard=shard)
-                except Exception:
-                    report.update(task, 'error')
-                    import traceback
-                    traceback.print_exc()
-                    os._exit(1)
-                os._exit(0)
-            else:
-                if os.waitpid(newpid, 0)[1] != 0:
-                    out.write('An error occurred: interrupting')
-                    sys.exit(1)
-                else:
-                    report.update(task, 'done')
-    out.write(f'\nRan {run_task_count} task(s) out of {len(runnable_tasks)} in total')
+            _fork_run(task, run_kwargs, report, out)
+    out.write(f'\nRan {run_count} task(s) out of {len(runnable_tasks)} in total')
 
 
 if __name__ == '__main__':

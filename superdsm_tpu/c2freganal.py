@@ -25,6 +25,7 @@ import scipy.ndimage as ndi
 
 from .pipeline import Stage
 from ._aux import copy_dict
+from ._stability import dq
 from .image import Image
 from .objects import Object
 from .atoms import AtomAdjacencyGraph
@@ -334,7 +335,10 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
     if root_candidate.seed is None:
         # no admissible seed: keep the cluster as a single atom
         leaf_candidates.append(root_candidate)
-    elif root_candidate.normalized_energy > max_atom_norm_energy:
+    elif dq(root_candidate.normalized_energy) > dq(max_atom_norm_energy):
+        # split decisions are decision-quantized (recompile stability,
+        # superdsm_tpu._stability) — they sit on thresholds that raw
+        # trajectory-snapshot energies cross per recompile
         split_queue.put(root_candidate)
     else:
         leaf_candidates.append(root_candidate)
@@ -410,12 +414,12 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
             continue
 
         norm_energy_improvement = 1 - max((c1.normalized_energy, c2.normalized_energy)) / c0.normalized_energy
-        if norm_energy_improvement < min_norm_energy_improvement:
+        if dq(norm_energy_improvement) < dq(min_norm_energy_improvement):
             split_queue.put(c0)  # try again with different seed
             atoms_map = atoms_map_previous
         else:
             for c in (c1, c2):
-                if c.normalized_energy > max_atom_norm_energy:
+                if dq(c.normalized_energy) > dq(max_atom_norm_energy):
                     split_queue.put(c)
                 else:
                     leaf_candidates.append(c)

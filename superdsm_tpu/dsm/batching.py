@@ -29,6 +29,14 @@ from . import aot
 #: Pixel-count buckets (padded shapes compile once each).
 P_BUCKETS = [2048, 6144, 8192, 12288, 16384, 24576, 32768, 131072, 524288,
              2097152]
+# A/B knob for the recompile-stability gate (tools/ab_decision_drift.py):
+# drops the named intermediate buckets so their problems pad to the next
+# bucket up — the same *class* of change as the round-3 ladder additions
+# (trajectory-preserving w=0 padding, but different packing + programs).
+# Production keeps the full ladder.
+if _os.environ.get('SDSM_DROP_BUCKETS'):
+    _dropped = {int(x) for x in _os.environ['SDSM_DROP_BUCKETS'].split(',')}
+    P_BUCKETS = [b for b in P_BUCKETS if b not in _dropped]
 # 16384 splits what used to be a 4x jump (8192 -> 32768): on bench-like
 # nuclei fields ~40% of the DSM solves have 8192 < P <= 16384 and were
 # padded to 32768 — the padding rows are dead compute for the entire Newton
@@ -876,9 +884,12 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
     # rebuilt coordinates are identical, so results are bitwise unchanged.
     # CPU keeps the coordinate path: transfers are free there and the exact
     # CPU regression goldens stay pinned to one program structure.
-    # SDSM_MASK_TRANSFERS=0 forces the coordinate path everywhere (A/B knob).
-    mask_capable = (not _on_cpu()
-                    and _os.environ.get('SDSM_MASK_TRANSFERS', '1') == '1')
+    # SDSM_MASK_TRANSFERS=0 forces the coordinate path everywhere (A/B knob);
+    # =1 forces the mask path even on CPU (the bench-scale mesh slow gate
+    # exercises the production 'dsm-m'/'poly-m' kinds on the virtual mesh).
+    _mask_env = _os.environ.get('SDSM_MASK_TRANSFERS')
+    mask_capable = (_mask_env == '1') if _mask_env is not None \
+        else not _on_cpu()
 
     def _variants(idxs, pb):
         if not mask_capable:

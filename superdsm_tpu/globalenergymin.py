@@ -22,6 +22,7 @@ from .objects import compute_objects, Object
 from .minsetcover import MinSetCover, DEFAULT_MAX_ITER, DEFAULT_GAMMA
 from .maxsetpack import solve_maxsetpack
 from .image import Image
+from ._stability import dq
 
 
 DEFAULT_MAX_WORK_AMOUNT = 10 ** 6
@@ -188,7 +189,8 @@ def _compute_generations(adjacencies, y_img, atoms_map, log_root_dir, pruning,
         if not all(atom.is_optimal for atom in atoms_in_cluster):
             continue
         atom_energies_sum = sum(atom.energy for atom in atoms_in_cluster)
-        if universe.energy <= beta + atom_energies_sum:
+        # decision-quantized Criterion 2 (recompile stability, _stability.py)
+        if dq(universe.energy) <= dq(beta + atom_energies_sum):
             directly_solved_cluster_labels |= {cluster_label}
 
     cover = MinSetCover(atoms, beta, adjacencies, max_iter=max_iter, gamma=gamma)
@@ -356,7 +358,10 @@ def _process_generation(cover, objects, previous_generation, y, atoms_map,
             min_new_object_costs = cover.beta + max(
                 obj.energy + cover.get_atom(new_atom_label).energy, new_object_maxsetpack)
             max_new_object_costs = current_cluster_costs - min_remaining_atom_costs
-            if max_new_object_costs < min_new_object_costs:
+            # decision-quantized pruning bound (recompile stability):
+            # discarding is conservative, so a stable-near-tie keeps the
+            # candidate (it is then pruned or kept by its own solved energy)
+            if dq(max_new_object_costs) < dq(min_new_object_costs):
                 discarded += 1
             else:
                 new_objects_energy_thresholds.append(max_new_object_costs - cover.beta)
@@ -372,7 +377,8 @@ def _process_generation(cover, objects, previous_generation, y, atoms_map,
 
     next_generation = []
     for new_object_idx, new_object in enumerate(new_objects):
-        if new_object.energy < new_objects_energy_thresholds[new_object_idx]:
+        # decision-quantized survival threshold (recompile stability)
+        if dq(new_object.energy) < dq(new_objects_energy_thresholds[new_object_idx]):
             next_generation.append(new_object)
         else:
             discarded += 1

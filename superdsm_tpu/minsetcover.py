@@ -11,18 +11,25 @@ candidate objects only re-solves the touched clusters.
 """
 
 from .output import get_output
+from ._stability import dq, fp_order
 
 DEFAULT_MAX_ITER = 5
 DEFAULT_GAMMA = 0.8
 
 
 def _merge_step(objects, accepted_objects, beta):
-    """Replaces groups of accepted objects by a cheaper superset object."""
+    """Replaces groups of accepted objects by a cheaper superset object.
+
+    All weight comparisons are decision-quantized with a footprint
+    tie-break (:mod:`superdsm_tpu._stability`): the sweep order and the
+    replacement test would otherwise flip on recompile-class energy drift.
+    """
     replacements_count = 0
     w = lambda c: c.energy + beta
     accepted = list(accepted_objects)
     accepted_set = set(map(id, accepted))
-    for c_new in sorted((c for c in objects if id(c) not in accepted_set), key=w):
+    for c_new in sorted((c for c in objects if id(c) not in accepted_set),
+                        key=lambda c: (dq(w(c)), fp_order(c))):
         blockers = []
         valid_replacement = True
         for c in accepted:
@@ -35,7 +42,7 @@ def _merge_step(objects, accepted_objects, beta):
             blockers.append(c)
         if not valid_replacement:
             continue
-        if w(c_new) < sum(w(c) for c in blockers):
+        if dq(w(c_new)) < dq(sum(w(c) for c in blockers)):
             replacements_count += len(blockers)
             blocker_ids = set(map(id, blockers))
             accepted = [c for c in accepted if id(c) not in blocker_ids] + [c_new]
@@ -52,8 +59,12 @@ def _solve_greedy(objects, beta, merge=True, out=None):
         uncovered_atoms |= c.footprint
 
     while remaining_objects:
+        # price argmin on quantized values with a deterministic footprint
+        # tie-break — near-tie candidates (within recompile drift of each
+        # other) select stably instead of flipping per recompile
         best_object = min(remaining_objects,
-                          key=lambda c: w(c) / len(c.footprint & uncovered_atoms))
+                          key=lambda c: (dq(w(c) / len(c.footprint & uncovered_atoms)),
+                                         fp_order(c)))
         accepted_objects.append(best_object)
         uncovered_atoms -= best_object.footprint
         remaining_objects = [c for c in remaining_objects
@@ -86,7 +97,7 @@ def solve_minsetcover(objects, beta, merge=True, max_iter=DEFAULT_MAX_ITER,
         solution2 = solve_minsetcover(objects, new_beta, merge, max_iter - 1, gamma, out)
         solution1_value = sum(c.energy for c in solution1) + beta * len(solution1)
         solution2_value = sum(c.energy for c in solution2) + beta * len(solution2)
-        if solution2_value < solution1_value:
+        if dq(solution2_value) < dq(solution1_value):
             out.write(f'MINSETCOVER solution for beta={beta:g} improved by '
                       f'{solution2_value - solution1_value:,g} '
                       f'(-{100 * (1 - solution2_value / solution1_value):.2f}%)')

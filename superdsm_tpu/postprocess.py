@@ -31,6 +31,7 @@ import scipy.ndimage as ndi
 
 from .pipeline import Stage
 from ._aux import join_path
+from ._stability import dq
 from .objects import BaseObject, extract_foreground_fragment
 from .ops.edt import edt
 from .ops.morphology import disk, binary_dilation, binary_erosion
@@ -155,10 +156,14 @@ class Postprocessing(Stage):
             if results['is_glare']:
                 log_entries.append((obj, f'glare removed (radius: {results["obj_radius"]})'))
                 continue
-            if results['norm_energy'] > max_norm_energy:
+            # energy/contrast discards are decision-quantized (recompile
+            # stability, superdsm_tpu._stability); the geometric filters
+            # (radius/eccentricity) derive from pixel masks and only move
+            # when the segmentation itself does
+            if dq(results['norm_energy']) > dq(max_norm_energy):
                 log_entries.append((obj, f'energy rate too high ({results["norm_energy"]})'))
                 continue
-            if results['contrast_response'] < min_contrast:
+            if dq(results['contrast_response']) < dq(min_contrast):
                 log_entries.append((obj, f'contrast too low ({results["contrast_response"]})'))
                 continue
             if obj.original.on_boundary:

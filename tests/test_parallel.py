@@ -1,5 +1,7 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh (conftest)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -362,3 +364,106 @@ def test_mask_program_shards_over_pipeline_mesh():
     assert np.array_equal(s_conv, b_conv)
     assert np.array_equal(s_bad, b_bad)
     assert np.array_equal(s_fg, b_fg)
+
+
+def test_parse_mesh_spec_and_env_apply(monkeypatch):
+    """The user surface for multi-chip (VERDICT r3 item 2b): mesh specs
+    parse, install via SUPERDSM_TPU_MESH, and uninstall cleanly."""
+    import superdsm_tpu.parallel.mesh as pm
+    from superdsm_tpu.dsm.batching import get_pipeline_mesh, set_pipeline_mesh
+
+    assert dict(pm.parse_mesh_spec('8').shape) == {'batch': 8, 'pixel': 1}
+    assert dict(pm.parse_mesh_spec('batch:4').shape) == {'batch': 4, 'pixel': 1}
+    assert dict(pm.parse_mesh_spec('batch:4,pixel:2').shape) == \
+        {'batch': 4, 'pixel': 2}
+    assert pm.parse_mesh_spec('') is None
+    with pytest.raises(ValueError):
+        pm.parse_mesh_spec('bogus:2')
+
+    monkeypatch.setenv('SUPERDSM_TPU_MESH', 'batch:8')
+    monkeypatch.setattr(pm, '_APPLIED_SPEC', None)
+    try:
+        mesh = pm.apply_env_mesh()
+        assert dict(mesh.shape) == {'batch': 8, 'pixel': 1}
+        assert get_pipeline_mesh() is mesh
+        # idempotent: a second call (another task/thread) reuses the install
+        assert pm.apply_env_mesh() is mesh
+    finally:
+        set_pipeline_mesh(None)
+        pm._APPLIED_SPEC = None
+
+
+def test_batch_cli_mesh_flag_rejects_bad_spec(tmp_path):
+    """--mesh validates eagerly with a parser error (no half-run task)."""
+    from superdsm_tpu.batch import run_cli
+    with pytest.raises(SystemExit):
+        run_cli([str(tmp_path), '--mesh', 'nonsense'])
+
+
+@pytest.mark.skipif(os.environ.get('SDSM_SLOW_TESTS') != '1',
+                    reason='two full bench-scale pipeline runs; '
+                           'run via tools/run_slow_gates.py')
+def test_pipeline_mesh_equivalence_bench_scale(monkeypatch):
+    """Mesh-vs-single equivalence at REALISTIC scale (VERDICT r3 item 2a):
+    the bench-sized synthetic field (520x696, ~28 nuclei, multi-atom
+    clusters) through the FULL production pipeline (automation + scale
+    estimation) at mesh None vs batch:8, with the production TPU transfer
+    format forced on (SDSM_MASK_TRANSFERS=1) so the 'dsm-m'/'poly-m'
+    program kinds shard — not the 120x120 three-object toy.
+
+    Equivalence bar: batch padding to the mesh minimum and SPMD-partitioned
+    codegen shift the creep-truncated trajectories (the recompile-drift
+    class measured by tools/ab_decision_drift.py: converged-class energies
+    ~1e-3 rel, truncated solves worse), so the pin is decision-level:
+    identical object count, per-object mask IoU, and foreground overlap —
+    the quantities the reference's own per-hostname goldens pin."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import make_image
+    from superdsm_tpu.pipeline import create_default_pipeline
+    from superdsm_tpu.automation import process_image
+    from superdsm_tpu.config import Config
+    from superdsm_tpu.output import get_output
+    from superdsm_tpu.render import rasterize_labels
+    from superdsm_tpu.dsm.batching import set_pipeline_mesh
+
+    monkeypatch.setenv('SDSM_MASK_TRANSFERS', '1')
+    out = get_output(None).derive(muted=True)
+    g, _ = make_image(0)
+
+    data1, _, _ = process_image(create_default_pipeline(),
+                                Config({'AF_scale': 12}), g, out=out)
+    seg1 = rasterize_labels(data1)
+
+    set_pipeline_mesh(make_mesh(n_batch=8, n_pixel=1))
+    try:
+        data8, _, _ = process_image(create_default_pipeline(),
+                                    Config({'AF_scale': 12}), g, out=out)
+    finally:
+        set_pipeline_mesh(None)
+    seg8 = rasterize_labels(data8)
+
+    n1 = len(data1['postprocessed_objects'])
+    n8 = len(data8['postprocessed_objects'])
+    assert n1 == n8 and n1 >= 20, (n1, n8)
+
+    a, b = seg1 > 0, seg8 > 0
+    fg_iou = (a & b).sum() / max(1, (a | b).sum())
+    assert fg_iou >= 0.98, fg_iou
+    for label in range(1, seg1.max() + 1):
+        m1 = seg1 == label
+        if not m1.any():
+            continue
+        label8 = np.bincount(seg8[m1]).argmax()
+        assert label8 > 0, label
+        m8 = seg8 == label8
+        iou = (m1 & m8).sum() / (m1 | m8).sum()
+        assert iou >= 0.9, (label, iou)
+
+    e1 = np.sort([float(o.energy) for o in data1['objects']
+                  if o.energy is not None])
+    e8 = np.sort([float(o.energy) for o in data8['objects']
+                  if o.energy is not None])
+    assert len(e1) == len(e8)
+    rel = np.abs(e1 - e8) / np.maximum(1e-9, np.abs(e1))
+    assert np.median(rel) <= 1e-2, float(np.median(rel))

@@ -27,16 +27,18 @@ REPO = pathlib.Path(__file__).parents[1]
 def run_pytest_gate():
     env = dict(os.environ, SDSM_SLOW_TESTS='1')
     proc = subprocess.run(
-        [sys.executable, '-m', 'pytest', 'tests/test_solver.py', '-q',
-         '-k', 'cg_direction_matches_cholesky', '-rs'],
+        [sys.executable, '-m', 'pytest', 'tests/test_solver.py',
+         'tests/test_parallel.py', '-q', '-k',
+         'cg_direction_matches_cholesky or mesh_equivalence_bench_scale',
+         '-rs'],
         cwd=str(REPO), env=env, capture_output=True, text=True)
     tail = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ''
-    print(f'[slow-gates] CG gate: {tail}')
+    print(f'[slow-gates] CG + bench-scale mesh gates: {tail}')
     if proc.returncode != 0:
         print(proc.stdout)
         return False
     if 'skipped' in tail:
-        print('[slow-gates] FAIL: the CG gate was skipped')
+        print('[slow-gates] FAIL: a gate was skipped')
         return False
     return True
 
