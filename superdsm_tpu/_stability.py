@@ -38,6 +38,25 @@ keep full precision; only comparisons are quantized. The reference has no
 equivalent mechanism (it pins BLAS versions and keeps per-hostname goldens
 instead, ``/root/reference/README.rst:25-31``).
 
+**What is and is not guaranteed** (measured, tools/ab_decision_drift.py +
+tools/ab_bbbc033.py, bench seed 0 + BBBC033, 2026-08-20):
+
+* Same configuration, repeated runs: bitwise identical (incl. label maps).
+* ``SDSM_GRAM_BANDED`` / ``SDSM_MASK_TRANSFERS`` / quantization-knob A/B:
+  identical decisions on both images; label maps bitwise on the bench
+  image, one object's boundary +-0.5% area on BBBC033 (kernel rounding).
+* Bucket-ladder / batch-shape changes (``SDSM_DROP_BUCKETS``, mesh
+  ``min_batch`` padding): all REAL-object decisions held on both images;
+  SEPARABLE (junk/ambiguous) solves are chaotic — the LM trajectory
+  truncates on a different creep plateau (measured 43.9 vs 1174 on one
+  junk singleton; see the scale-sweep note in ``dsm/solver.py``) — and
+  one such object per image may flip a postprocess discard or an
+  ambiguous split. ``P_BUCKETS``/chunking are therefore part of the
+  PINNED numerical contract, exactly like the reference's pinned
+  ``blas=1.0=mkl`` stack: changing them is a declared numerics change,
+  re-validated by the gates (zero-flip on the accelerator backend for
+  same-ladder recompiles; ``tests/regression/run_bbbc033.py``).
+
 ``SDSM_DECISION_QUANT_BITS=0`` disables quantization (raw comparisons).
 """
 

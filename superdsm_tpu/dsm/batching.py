@@ -29,11 +29,11 @@ from . import aot
 #: Pixel-count buckets (padded shapes compile once each).
 P_BUCKETS = [2048, 6144, 8192, 12288, 16384, 24576, 32768, 131072, 524288,
              2097152]
-# A/B knob for the recompile-stability gate (tools/ab_decision_drift.py):
-# drops the named intermediate buckets so their problems pad to the next
-# bucket up — the same *class* of change as the round-3 ladder additions
-# (trajectory-preserving w=0 padding, but different packing + programs).
-# Production keeps the full ladder.
+# The ladder is part of the PINNED numerical contract (_stability.py):
+# repacking changes reduction rounding, which the LM accept/reject branches
+# amplify chaotically on separable (junk-class) solves. SDSM_DROP_BUCKETS
+# is the A/B knob the stability gates use to exercise exactly that class;
+# production keeps the full ladder.
 if _os.environ.get('SDSM_DROP_BUCKETS'):
     _dropped = {int(x) for x in _os.environ['SDSM_DROP_BUCKETS'].split(',')}
     P_BUCKETS = [b for b in P_BUCKETS if b not in _dropped]

@@ -243,6 +243,16 @@ def _newton_step(params, mu, s, f0, g, H, Bf, yv, w, alpha, epsilon, kmask, tol)
     # creep"). The surface is linear in the parameters, so scaling all
     # parameters scales s exactly — one softplus pass evaluates a geometric
     # ladder of scales and jumps the creep in a handful of iterations.
+    # NOTE (round 4, measured): extending the ladder exponentially (to 2^14)
+    # does NOT pin down the separable-solve truncation point — the creep
+    # alternates scale jumps with RESHAPING plateaus, so trajectories
+    # truncate on different plateaus regardless (43.9 vs 1174 for one junk
+    # singleton across batch shapes; the eager-trace asymptote is ~44 while
+    # the big-ladder variant converged at 224). Separable/junk solves are
+    # inherently trajectory-snapshots; their decision impact is bounded by
+    # the decision quantization + the documented pinned-numerics policy
+    # (superdsm_tpu/_stability.py), the same class the reference pins with
+    # per-hostname goldens.
     scales = jnp.asarray([0.7, 1.0, 1.4, 2.0, 3.0, 4.5, 6.5, 9.0], params.dtype)
     t_sc = yv * new_s
     data_sc = jnp.sum(w[:, None] * jax.nn.softplus(-t_sc[:, None] * scales[None, :]),

@@ -145,11 +145,21 @@ def compare(seg, update_expected=False):
         matched, spurious, missing = match_rows(actual_rows, exp_rows,
                                                 center_tol=3.0, size_tol=0.1)
         print(f'[bbbc033] vs committed goldens: {matched}/{len(exp_rows)} matched')
-        # one boundary object flips across backends (measured: CPU vs TPU
-        # agree 15/16 at this tolerance, Dice 0.989 — the same sensitivity
-        # that forces the reference's per-hostname goldens); tolerate it
-        if len(spurious) > 1 or len(missing) > 1:
-            errors.append(f'[self-regression] spurious={spurious} missing={missing}')
+        # The goldens are the TPU snapshot. On an accelerator backend the
+        # bar is ZERO object flips (VERDICT r4: decision quantization +
+        # deterministic tie-breaks, superdsm_tpu/_stability.py — verified
+        # across the gram-kernel, transfer-format, and bucket-ladder
+        # recompile classes with tools/ab_bbbc033.py, 2026-08-20). The CPU
+        # backend is a genuinely different numerics stack (the same class
+        # of difference that forces the reference's per-hostname goldens);
+        # ONE boundary-object flip is tolerated there, zero-flip is not a
+        # cross-backend claim.
+        import jax
+        allowed = 1 if jax.default_backend() == 'cpu' else 0
+        if len(spurious) > allowed or len(missing) > allowed:
+            errors.append(f'[self-regression] spurious={spurious} '
+                          f'missing={missing} (allowed {allowed} on '
+                          f'{jax.default_backend()})')
     else:
         errors.append(f'no committed goldens at {expected_file} '
                       f'(run with --update-expected)')
