@@ -253,8 +253,17 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
     else:
         built = [_build_problem(idx, obj) for idx, obj in enumerate(objects)]
 
+    # Identical-footprint dedup: the first gem batch solves every singleton
+    # atom AND every cluster universe, and a single-atom cluster's universe
+    # is the SAME region as its atom — on a dense mosaic tile that halved
+    # the batch (392 -> 196 solves). Only cold problems dedup (warm starts
+    # differ by parent); results are copied to every aliased object, which
+    # also makes Criterion 2 exactly consistent for trivial clusters
+    # (previously the two solves of the same region could land on different
+    # creep plateaus — see _stability.py).
     problems = []
-    problem_obj_idx = []
+    alias = {}        # problems index -> [object index, ...]
+    canon_by_fp = {}  # footprint -> problems index (cold inits only)
     trivial = []
     for idx, (obj, problem) in enumerate(zip(objects, built)):
         if problem is None:
@@ -266,8 +275,15 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
             obj.is_optimal = False
             obj.processing_time = 0
             continue
+        if problem.init_params is None:
+            fp = frozenset(obj.footprint)
+            j = canon_by_fp.get(fp)
+            if j is not None:
+                alias[j].append(idx)
+                continue
+            canon_by_fp[fp] = len(problems)
+        alias[len(problems)] = [idx]
         problems.append(problem)
-        problem_obj_idx.append(idx)
 
     _t_packed = time.time()
     results = solve_problems(
@@ -290,30 +306,34 @@ def compute_objects(objects, y, atoms, dsm_cfg, log_root_dir=None,
     _t_solved = time.time()
     fallbacks = 0
     per_obj_time = dt / max(1, len(problems))
-    for prob, res in zip(problems, results):
-        obj = objects[prob.tag]
+    for p_idx, (prob, res) in enumerate(zip(problems, results)):
         fg_local = res.fg if res.fg is not None else (res.surface > 0)
         crop_shape = tuple(prob.pts.max(axis=0) + 1) if prob.n_pixels else (1, 1)
         fg_crop = np.zeros(crop_shape, bool)
         fg_crop[prob.pts[:, 0], prob.pts[:, 1]] = fg_local
         if fg_crop.any():
-            off, frag = extract_foreground_fragment(fg_crop)
-            obj.fg_offset = off + np.asarray(prob.offset)
-            obj.fg_fragment = frag
+            fg_offset, fg_fragment = extract_foreground_fragment(fg_crop)
+            fg_offset = fg_offset + np.asarray(prob.offset)
         else:
-            obj.fg_offset = np.zeros(2, int)
-            obj.fg_fragment = np.zeros((1, 1), bool)
+            fg_offset = np.zeros(2, int)
+            fg_fragment = np.zeros((1, 1), bool)
         theta = res.params[:6]
-        obj.on_boundary = bool((ring_basis @ theta > 0).any())
-        obj.energy = res.energy
-        obj.is_optimal = (res.status == 'optimal')
-        obj.processing_time = per_obj_time
-        # retain the solution for warm-starting objects grown from this one
-        # (footprint + one atom); theta transfers directly, xi by absolute
-        # subsample-point coordinates
-        obj._dsm_params = res.params
-        obj._dsm_sub_abs = prob.sub + np.asarray(prob.offset)[None, :] \
+        on_boundary = bool((ring_basis @ theta > 0).any())
+        sub_abs = prob.sub + np.asarray(prob.offset)[None, :] \
             if prob.n_deform else np.zeros((0, 2), np.int32)
+        for n_shared, obj_idx in enumerate(alias[p_idx]):
+            obj = objects[obj_idx]
+            obj.fg_offset = fg_offset.copy() if n_shared else fg_offset
+            obj.fg_fragment = fg_fragment.copy() if n_shared else fg_fragment
+            obj.on_boundary = on_boundary
+            obj.energy = res.energy
+            obj.is_optimal = (res.status == 'optimal')
+            obj.processing_time = per_obj_time
+            # retain the solution for warm-starting objects grown from this
+            # one (footprint + one atom); theta transfers directly, xi by
+            # absolute subsample-point coordinates
+            obj._dsm_params = res.params
+            obj._dsm_sub_abs = sub_abs
         if res.status == 'fallback':
             fallbacks += 1
 
