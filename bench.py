@@ -296,6 +296,13 @@ def main():
         'stage_split_latency_s': stage_split,
         'warmup_s': round(warmup_blocking_s, 1),
         'warmup_blocking_s': round(warmup_blocking_s, 1),
+        # attribution: compile is client-side (seconds, AOT sidecars);
+        # the warm pass is dominated by tunnel-serialized SERVER-side
+        # program loads every fresh process pays on first dispatch —
+        # not compile time (the historical mislabel), and not removable
+        # client-side (measured: threads/AOT change nothing, CLAUDE.md)
+        'warmup_compile_s': round(warmup_stats['wall_s'], 1),
+        'warmup_warm_pass_s': round(warm_pass_s, 1),
         'cpu_proxy_sec_per_image': None if cpu_proxy is None
             else cpu_proxy['cpu_proxy_sec_per_image'],
     }
