@@ -306,12 +306,16 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
 
     def _spec_thunk(children, sd, sd_tok):
         """Lazy speculation: the (EDT + watershed) simulation only runs when
-        the driver round happens anyway; a failure never breaks the loop."""
+        the driver round happens anyway; a failure never breaks the loop.
+        ``sd`` may be a zero-arg callable producing the seed-distance map —
+        clusters that never split (and runs with speculation off) then skip
+        that EDT entirely (memoized, so the split loop shares the result)."""
         def run():
             if not speculate:
                 return ()
             try:
-                return _speculate_children(memo, children, sd, sd_tok,
+                sd_val = sd() if callable(sd) else sd
+                return _speculate_children(memo, children, sd_val, sd_tok,
                                            min_atom_size, seed_connectivity)
             except Exception:
                 return ()
@@ -319,12 +323,16 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
 
     if root_candidate.seed is not None:
         root_seed_key = _hash_mask(root_candidate.seed)
-        seed_distances = memo.seed_edt(root_candidate.seed, root_seed_key)
         sd_token = ('root', root_seed_key)
+        # the root seed-distance EDT is LAZY: never-split clusters (and
+        # speculation-off paths — mosaic/pipelined) never need it; the memo
+        # shares one computation between speculation and the split loop
+        get_root_sd = (lambda: memo.seed_edt(root_candidate.seed,
+                                             root_seed_key))
         root_spec = _spec_thunk(
             [(root_candidate.get_mask(atoms_map), root_candidate.seed,
               root_seed_key)],
-            seed_distances, sd_token)
+            get_root_sd, sd_token)
     else:
         root_spec = None
     root_candidate.normalized_energy = (yield from _norm_energies(
@@ -344,7 +352,10 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
         leaf_candidates.append(root_candidate)
     root_candidate._seed_key = root_seed_key if root_candidate.seed is not None \
         else None
+    seed_distances = _LAZY_SD if root_candidate.seed is not None else None
     while not split_queue.empty():
+        if seed_distances is _LAZY_SD:
+            seed_distances = get_root_sd()
         c0 = split_queue.get()
         c0_mask = c0.get_mask(atoms_map)
 
@@ -455,6 +466,7 @@ def _advance_workers(pool, workers, payloads, results, waiting):
 
 
 _FIRST = object()  # sentinel payload: advance with next() instead of send()
+_LAZY_SD = object()  # sentinel: root seed-distance EDT not yet materialized
 
 
 def _drive_cluster_workers(workers, clusters_by_label, img_shape, out,
