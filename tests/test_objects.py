@@ -122,3 +122,50 @@ def test_debug_footprint_dump(tmp_path, monkeypatch):
     assert len(record['energy_trace']) >= 2
     energies = [t['energy'] for t in record['energy_trace']]
     assert energies[-1] <= energies[0] + 1e-6  # monotone-ish trace
+
+
+def test_compute_objects_dedups_identical_cold_footprints(monkeypatch):
+    """A single-atom cluster's universe is the same region as its atom: one
+    solve must serve both (round-4 dedup; halves the first gem batch on
+    dense fields), while warm-started duplicates keep their own solve."""
+    import superdsm_tpu.objects as O
+    from superdsm_tpu.image import Image
+    from superdsm_tpu.objects import Object, compute_objects
+
+    H, W = 32, 32
+    rr, cc = np.indices((H, W))
+    disk = ((rr - 16.0) ** 2 + (cc - 16.0) ** 2) <= 8.0 ** 2
+    y = Image(model=disk.astype(np.float32) - 0.5)
+    atoms = disk.astype(int)
+    dsm_cfg = {'smooth_amount': 4, 'smooth_subsample': 6, 'alpha': 0.05,
+               'background_margin': 6, 'newton_maxiter': 8}
+
+    solved_counts = []
+    real_solve = O.solve_problems
+
+    def counting_solve(problems, **kwargs):
+        solved_counts.append(len(problems))
+        return real_solve(problems, **kwargs)
+
+    monkeypatch.setattr(O, 'solve_problems', counting_solve)
+
+    atom, universe = Object(), Object()
+    atom.footprint = frozenset([1])
+    universe.footprint = {1}
+    compute_objects([atom, universe], y, atoms, dsm_cfg)
+    assert solved_counts == [1]
+    assert universe.energy == atom.energy
+    assert universe.is_optimal == atom.is_optimal
+    assert np.array_equal(universe.fg_fragment, atom.fg_fragment)
+    # aliased fragments must be independent copies (postprocess mutates)
+    assert universe.fg_fragment is not atom.fg_fragment
+
+    # a warm-started duplicate keeps its own solve
+    child = Object()
+    child.footprint = {1}
+    child.init_from = atom
+    other = Object()
+    other.footprint = {1}
+    solved_counts.clear()
+    compute_objects([child, other], y, atoms, dsm_cfg)
+    assert solved_counts == [2]
