@@ -473,7 +473,16 @@ def _drive_cluster_workers(workers, clusters_by_label, img_shape, out,
                            status_line='Analyzing clusters',
                            newton_maxiter=None, timeout=None):
     """Advances all cluster workers in lockstep, batch-solving the pending
-    normalized-energy requests of every active cluster each round."""
+    normalized-energy requests of every active cluster each round.
+
+    The lockstep barrier is DELIBERATE: dispatch composition (which
+    problems share a padded batch) must be a pure function of the input,
+    because batch shape perturbs reduction rounding and the LM branches
+    amplify it on ambiguous solves (_stability.py). A completion-ordered
+    stream would make outputs depend on thread timing. The barrier's cost
+    is bounded: speculation collapses bench images to ONE device round, and
+    the per-cluster host work between yields is native/GIL-releasing and
+    thread-pooled (advance0 ~0.3 s on a 196-cluster dense tile)."""
     from concurrent.futures import ThreadPoolExecutor
     from .dsm.solver import DEFAULT_MAXITER
     if newton_maxiter is None:
