@@ -464,7 +464,7 @@ def warmup(shapes=None, maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, sigma=4.0,
     t_done = _time.time()
     return {'wall_s': t_done - t_start,
             'compile_s': t_compiled - t_start,
-            'load_s': t_done - t_compiled,
+            'load_s': 0.0 if compile_only else t_done - t_compiled,
             'aot_deserialize_thread_s': aot.timings['deserialize_s'] - aot_t0['deserialize_s'],
             'compile_thread_s': aot.timings['compile_s'] - aot_t0['compile_s'],
             'n_programs': len(shapes)}

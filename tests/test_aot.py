@@ -227,3 +227,38 @@ def test_fingerprint_scopes_sidecars(tmp_path, fresh_fingerprint,
             'oldest stale fingerprint dir not pruned'
         assert (d1 / 'dummy.pkl').exists(), \
             'recent sibling (A/B workflow) was wrongly pruned'
+
+
+def test_warmup_compile_only_skips_device_phase(tmp_path, monkeypatch):
+    """``warmup(compile_only=True)`` (the bench's blocking phase) registers
+    executables without dispatching: no load phase, no warm-shape arming —
+    the covering workload pays the first dispatch itself."""
+    from superdsm_tpu.image import Image
+    from superdsm_tpu.dsm.batching import make_problem, solve_problems
+
+    H, W = 40, 40
+    rr, cc = np.indices((H, W))
+    region = Image(model=(((rr - 20) ** 2 + (cc - 20) ** 2) < 120)
+                   .astype(np.float32) - 0.5)
+
+    saved = dict(aot._REGISTRY)
+    aot._REGISTRY.clear()
+    try:
+        with _scoped_cache_dir(tmp_path):
+            monkeypatch.setattr(batching, '_RECORDED_SHAPES', set())
+            monkeypatch.setattr(batching, '_WARM_SHAPES', set())
+            prob = make_problem(region, smooth_amount=6, smooth_subsample=6)
+            solve_problems([prob], alpha=0.05, smooth_amount=6)
+            shapes = sorted(batching._RECORDED_SHAPES)
+            assert shapes
+            warm_before = set(batching._WARM_SHAPES)
+            stats = batching.warmup(shapes=shapes, compile_only=True)
+            assert stats['load_s'] == 0.0
+            assert stats['n_programs'] == len(shapes)
+            assert aot._REGISTRY, 'compile-only warmup registered nothing'
+            # device phase skipped: warmup armed no additional warm shapes
+            # (the production solve above already armed its own)
+            assert batching._WARM_SHAPES == warm_before
+    finally:
+        aot._REGISTRY.clear()
+        aot._REGISTRY.update(saved)
