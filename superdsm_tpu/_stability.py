@@ -17,8 +17,13 @@ ladder/packing) shifts them — measured on the bench image
   reduction rounding and the LM accept/reject branches amplify it.
 
 No deterministic function of a continuously drifting input can be flip-free
-(the discontinuity only moves), but two measures shrink the flip
-probability by the drift/grid ratio and remove the most common flip mode:
+(the discontinuity only moves). Measured honestly: on the 4 synthetic
+bench-class images the decisions survive ladder repacks even with
+quantization DISABLED — real-object decision gaps are wide — and the one
+BBBC033 ambiguous-pair flip survives quantization (chaotic drift exceeds
+any grid). Quantization is therefore defense-in-depth, not the load-bearing
+mechanism: it shrinks the near-tie flip window ~8x and makes greedy
+selections deterministic under exact ties, at zero cost:
 
 1. **Quantization**: every decision comparison runs on :func:`dq`-rounded
    values — the mantissa is rounded to ``SDSM_DECISION_QUANT_BITS``
