@@ -567,7 +567,15 @@ class Task:
             for file_id in file_ids:
                 data.setdefault(file_id, None)
 
-            n_threads = int(os.environ.get('SUPERDSM_TPU_TASK_THREADS', '3'))
+            # --debug mirrors the reference's serial diagnostics mode
+            # (/root/reference/superdsm/batch.py:291): files process
+            # serially and the solver prints per-round telemetry
+            if debug:
+                os.environ['SDSM_SOLVE_TELEMETRY'] = '1'
+                from .dsm import batching as _batching
+                _batching._TELEMETRY = True  # module caches the env at import
+            n_threads = 1 if debug \
+                else int(os.environ.get('SUPERDSM_TPU_TASK_THREADS', '3'))
             if not dry and n_threads > 1 and len(file_ids) > 1:
                 # host/device-overlapped file stream (superdsm_tpu.parallel.
                 # pipelined rationale): image i's host phases (watershed,

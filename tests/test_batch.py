@@ -508,3 +508,16 @@ def test_batch_cli_mesh_flag_runs_sharded(tmp_path, monkeypatch):
     assert (root / 'taskM' / 'seg' / '0.png').exists()
     assert seen_meshes and all(m is not None for m in seen_meshes)
     assert all(dict(m.shape)['batch'] == 8 for m in seen_meshes)
+
+
+def test_batch_debug_flag_serial_telemetry(batch_root, monkeypatch, capsys):
+    """--debug mirrors the reference's serial diagnostics: single-threaded
+    file processing with solver telemetry enabled."""
+    from superdsm_tpu.dsm import batching
+    monkeypatch.delenv('SDSM_SOLVE_TELEMETRY', raising=False)
+    monkeypatch.setattr(batching, '_TELEMETRY', False)
+    run_cli([str(batch_root), '--run', '--no-fork', '--force', '--fresh', '--debug'])
+    captured = capsys.readouterr()
+    assert batching._TELEMETRY
+    assert os.environ.get('SDSM_SOLVE_TELEMETRY') == '1'
+    assert '[solve_problems]' in captured.err
