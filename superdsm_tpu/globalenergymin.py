@@ -31,23 +31,27 @@ DEFAULT_MAX_WORK_AMOUNT = 10 ** 6
 def _get_generation_log_dir(log_root_dir, generation_number):
     if log_root_dir is None:
         return None
-    result = join_path(log_root_dir, f'gen{generation_number}')
-    mkdir(result)
-    return result
+    gen_dir = join_path(log_root_dir, f'gen{generation_number}')
+    mkdir(gen_dir)
+    return gen_dir
+
+
+def _ratio(numerator, denominator):
+    """numerator/denominator, NaN on an empty denominator."""
+    return numerator / denominator if denominator else np.nan
 
 
 class PerformanceReport:
-    """Pruning-performance telemetry
-    (cf. ``/root/reference/superdsm/globalenergymin.py:23-94``).
+    """Pruning-performance telemetry, aggregated per image and per task into
+    ``performance.csv`` (counter names and column order are the on-disk
+    contract; cf. ``/root/reference/superdsm/globalenergymin.py:23-94``).
 
-    :ivar direct_solution_trial_count: Cases in which Criterion 2 was evaluated.
-    :ivar direct_solution_success_count: Cases it yielded a closed-form solution.
-    :ivar iterative_object_count: Objects a bruteforce run would compute.
-    :ivar iterative_computed_object_count: Objects computed by Algorithm 1.
-    :ivar overall_object_count: Objects computed without Alg. 1 / Crit. 2.
-    :ivar overall_computed_object_count: Objects actually computed.
-    :ivar nontrivial_object_count: Same, excluding trivial clusters (#U <= 2).
-    :ivar nontrivial_computed_object_count: Same, excluding trivial clusters.
+    Counters: ``direct_solution_trial_count`` (Criterion 2 evaluated) /
+    ``direct_solution_success_count`` (it yielded a closed-form solution);
+    ``iterative_[computed_]object_count`` (bruteforce vs Algorithm 1);
+    ``overall_[computed_]object_count`` (without vs with Alg. 1 + Crit. 2);
+    ``nontrivial_[computed_]object_count`` (excluding clusters of <= 2
+    atoms). Derived success/pruning rates are properties.
     """
 
     attributes = [
@@ -61,38 +65,36 @@ class PerformanceReport:
         'nontrivial_computed_object_count',
     ]
 
-    def __init__(self, **kwargs):
-        for key in PerformanceReport.attributes:
-            setattr(self, key, kwargs.get(key, 0))
+    def __init__(self, **counts):
+        unknown = set(counts) - set(self.attributes)
+        assert not unknown, unknown
+        self.__dict__.update({key: counts.get(key, 0)
+                              for key in self.attributes})
 
     @property
     def direct_solution_success(self):
-        if self.direct_solution_trial_count == 0:
-            return np.nan
-        return self.direct_solution_success_count / self.direct_solution_trial_count
+        return _ratio(self.direct_solution_success_count,
+                      self.direct_solution_trial_count)
 
     @property
     def iterative_pruning_success(self):
-        if self.iterative_object_count == 0:
-            return np.nan
-        return 1 - self.iterative_computed_object_count / self.iterative_object_count
+        return 1 - _ratio(self.iterative_computed_object_count,
+                          self.iterative_object_count)
 
     @property
     def overall_pruning_success(self):
-        if self.overall_object_count == 0:
-            return np.nan
-        return 1 - self.overall_computed_object_count / self.overall_object_count
+        return 1 - _ratio(self.overall_computed_object_count,
+                          self.overall_object_count)
 
     @property
     def nontrivial_pruning_success(self):
         """Pruned fraction within non-trivial clusters — the key indicator."""
-        if self.nontrivial_object_count == 0:
-            return np.nan
-        return 1 - self.nontrivial_computed_object_count / self.nontrivial_object_count
+        return 1 - _ratio(self.nontrivial_computed_object_count,
+                          self.nontrivial_object_count)
 
     def __iadd__(self, other):
-        for key in PerformanceReport.attributes:
-            setattr(self, key, getattr(self, key) + getattr(other, key))
+        for key in self.attributes:
+            self.__dict__[key] += getattr(other, key)
         return self
 
     def _assert_integrity(self):
@@ -225,11 +227,11 @@ def _compute_generations(adjacencies, y_img, atoms_map, log_root_dir, pruning,
 
             finished_amount, remaining_amount = __estimate_progress(
                 ignored_cluster_labels=directly_solved_cluster_labels)
-            if np.isnan(finished_amount) or np.isnan(remaining_amount):
-                progress_text = 'progress unknown'
-            else:
-                progress = finished_amount / (remaining_amount + finished_amount)
-                progress_text = f'(finished {100 * progress:.0f}% or more)'
+            total_amount = finished_amount + remaining_amount
+            progress_text = ('progress unknown' if np.isnan(total_amount)
+                             else f'(finished '
+                                  f'{100 * finished_amount / total_amount:.0f}% '
+                                  f'or more)')
             out.write(f'{generation_label}: {Text.style(progress_text, Text.BOLD)}')
 
             new_generation, new_objects = _process_generation(
@@ -262,12 +264,10 @@ def _compute_generations(adjacencies, y_img, atoms_map, log_root_dir, pruning,
 def _get_max_distance(footprint, new_atom_label, adjacencies):
     """Maximum distance between the new atom's seed and the footprint seeds."""
     assert new_atom_label not in footprint
-    maximum_distance = 0
-    new_atom_seed = adjacencies.get_seed(new_atom_label)
-    for label in footprint:
-        distance = np.linalg.norm(np.subtract(adjacencies.get_seed(label), new_atom_seed))
-        maximum_distance = max(maximum_distance, distance)
-    return maximum_distance
+    new_atom_seed = np.asarray(adjacencies.get_seed(new_atom_label), float)
+    seeds = np.asarray([adjacencies.get_seed(label) for label in footprint],
+                       float)
+    return float(np.linalg.norm(seeds - new_atom_seed, axis=1).max())
 
 
 def _is_within_max_seed_distance(footprint, new_atom_label, adjacencies, max_seed_distance):
