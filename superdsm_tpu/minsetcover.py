@@ -95,8 +95,8 @@ def solve_minsetcover(objects, beta, merge=True, max_iter=DEFAULT_MAX_ITER,
         new_beta = beta * gamma
         out.write(f'MINSETCOVER retry with lower beta: {new_beta:g}')
         solution2 = solve_minsetcover(objects, new_beta, merge, max_iter - 1, gamma, out)
-        solution1_value = sum(c.energy for c in solution1) + beta * len(solution1)
-        solution2_value = sum(c.energy for c in solution2) + beta * len(solution2)
+        solution1_value = _cover_value(solution1, beta)
+        solution2_value = _cover_value(solution2, beta)
         if dq(solution2_value) < dq(solution1_value):
             out.write(f'MINSETCOVER solution for beta={beta:g} improved by '
                       f'{solution2_value - solution1_value:,g} '
@@ -105,9 +105,9 @@ def solve_minsetcover(objects, beta, merge=True, max_iter=DEFAULT_MAX_ITER,
     return solution1
 
 
-def _get_atom_label(atom):
-    assert len(atom.footprint) == 1
-    return next(iter(atom.footprint))
+def _cover_value(family, beta):
+    """Σ (β + ν(X)) of a candidate family."""
+    return sum(c.energy for c in family) + beta * len(family)
 
 
 class MinSetCover:
@@ -118,22 +118,20 @@ class MinSetCover:
     """
 
     def __init__(self, atoms, beta, adjacencies, **solve_minsetcover_kwargs):
-        self.atoms = {_get_atom_label(atom): atom for atom in atoms}
         self.beta = beta
         self.adjacencies = adjacencies
         self.solve_minsetcover_kwargs = solve_minsetcover_kwargs
-        self.objects_by_cluster = {
-            cluster: [atom for atom in atoms
-                      if adjacencies.get_cluster_label(_get_atom_label(atom)) == cluster]
-            for cluster in adjacencies.cluster_labels}
-        self.solution_by_cluster = {
-            cluster: self.objects_by_cluster[cluster]
-            for cluster in adjacencies.cluster_labels}
-
-    def _update_partial_solution(self, cluster_label, out):
-        objects = self.objects_by_cluster[cluster_label]
-        self.solution_by_cluster[cluster_label] = solve_minsetcover(
-            objects, self.beta, out=out, **self.solve_minsetcover_kwargs)
+        self.atoms = {}
+        self.objects_by_cluster = {cluster: []
+                                   for cluster in adjacencies.cluster_labels}
+        for atom in atoms:
+            (label,) = atom.footprint  # singletons by construction
+            self.atoms[label] = atom
+            self.objects_by_cluster[adjacencies.get_cluster_label(label)] \
+                .append(atom)
+        # the initial per-cluster solution IS the atom family (aliased on
+        # purpose: update() re-solves a cluster right after appending to it)
+        self.solution_by_cluster = dict(self.objects_by_cluster)
 
     def get_atom(self, atom_label):
         """The singleton object of an atomic region."""
@@ -141,26 +139,28 @@ class MinSetCover:
 
     def update(self, new_objects, out=None):
         """Adds candidates and re-solves the clusters they touch."""
-        invalidated_clusters = set()
+        touched = set()
         for new_object in new_objects:
-            cluster_label = self.adjacencies.get_cluster_label(next(iter(new_object.footprint)))
-            invalidated_clusters.add(cluster_label)
-            self.objects_by_cluster[cluster_label].append(new_object)
-        for cluster_label in invalidated_clusters:
-            self._update_partial_solution(cluster_label, out)
+            cluster = self.adjacencies.get_cluster_label(
+                next(iter(new_object.footprint)))
+            self.objects_by_cluster[cluster].append(new_object)
+            touched.add(cluster)
+        for cluster in touched:
+            self.solution_by_cluster[cluster] = solve_minsetcover(
+                self.objects_by_cluster[cluster], self.beta, out=out,
+                **self.solve_minsetcover_kwargs)
 
     def get_cluster_costs(self, cluster_label):
         """MSC value restricted to one cluster."""
-        partial_solution = self.solution_by_cluster[cluster_label]
-        return sum(c.energy for c in partial_solution) + self.beta * len(partial_solution)
+        return _cover_value(self.solution_by_cluster[cluster_label], self.beta)
 
     @property
     def solution(self):
         """The selected family of objects (all clusters)."""
-        return sum((list(partial) for partial in self.solution_by_cluster.values()), [])
+        return [c for partial in self.solution_by_cluster.values()
+                for c in partial]
 
     @property
     def costs(self):
         """Total cover cost Σ (β + ν(X))."""
-        solution = self.solution
-        return sum(c.energy for c in solution) + self.beta * len(solution)
+        return _cover_value(self.solution, self.beta)
