@@ -117,6 +117,12 @@ class _TunnelWatchdog:
         self._lock = threading.Lock()
         self._completed = False
         self._timer = None
+        # Generation counter (ADVICE r4): Timer.cancel() cannot stop a
+        # timer whose callback already started, so _fire captures the
+        # generation it was armed with and aborts if a pet() happened
+        # since — a rep completing just as the deadline expires must not
+        # exit(2) a progressing bench.
+        self._generation = 0
         self.pet()
 
     def pet(self):
@@ -125,7 +131,9 @@ class _TunnelWatchdog:
                 return
             if self._timer is not None:
                 self._timer.cancel()
-            self._timer = threading.Timer(self._deadline, self._fire)
+            self._generation += 1
+            self._timer = threading.Timer(
+                self._deadline, self._fire, args=(self._generation,))
             self._timer.daemon = True
             self._timer.start()
 
@@ -138,9 +146,9 @@ class _TunnelWatchdog:
     # backwards-compatible alias (old call sites used timer.cancel())
     cancel = complete
 
-    def _fire(self):
+    def _fire(self, generation):
         with self._lock:
-            if self._completed:
+            if self._completed or generation != self._generation:
                 return
         # The proxy run takes minutes — outside the lock, and guarded: a
         # failure here must still end in os._exit(2), never a silent dead
@@ -152,8 +160,8 @@ class _TunnelWatchdog:
         except Exception:
             proxy_val = None
         with self._lock:
-            if self._completed:
-                return  # bench finished while the proxy ran: its line won
+            if self._completed or generation != self._generation:
+                return  # bench progressed/finished while the proxy ran
             self._completed = True
         try:
             result = {

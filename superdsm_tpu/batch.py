@@ -569,10 +569,15 @@ class Task:
 
             # --debug mirrors the reference's serial diagnostics mode
             # (/root/reference/superdsm/batch.py:291): files process
-            # serially and the solver prints per-round telemetry
+            # serially and the solver prints per-round telemetry. The
+            # override is scoped to this task (restored in the finally
+            # below): in --no-fork multi-task runs a debug task must not
+            # leak telemetry into subsequent tasks of the same process.
             if debug:
+                _telemetry_prior = (os.environ.get('SDSM_SOLVE_TELEMETRY'),)
                 os.environ['SDSM_SOLVE_TELEMETRY'] = '1'
                 from .dsm import batching as _batching
+                _restore_telemetry = _batching._TELEMETRY
                 _batching._TELEMETRY = True  # module caches the env at import
             n_threads = 1 if debug \
                 else int(os.environ.get('SUPERDSM_TPU_TASK_THREADS', '3'))
@@ -711,6 +716,14 @@ class Task:
             out.write(Text.style(f'\nError while processing task: {self._fmt_path(self.path)}',
                                  Text.RED))
             raise
+        finally:
+            if debug:
+                from .dsm import batching as _batching
+                _batching._TELEMETRY = _restore_telemetry
+                if _telemetry_prior[0] is None:
+                    os.environ.pop('SDSM_SOLVE_TELEMETRY', None)
+                else:
+                    os.environ['SDSM_SOLVE_TELEMETRY'] = _telemetry_prior[0]
 
     def _pickup_candidates(self, pipeline):
         """(task, first differing stage) pairs this task could resume from:

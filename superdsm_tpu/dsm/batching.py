@@ -35,7 +35,8 @@ P_BUCKETS = [2048, 6144, 8192, 12288, 16384, 24576, 32768, 131072, 524288,
 # is the A/B knob the stability gates use to exercise exactly that class;
 # production keeps the full ladder.
 if _os.environ.get('SDSM_DROP_BUCKETS'):
-    _dropped = {int(x) for x in _os.environ['SDSM_DROP_BUCKETS'].split(',')}
+    _dropped = {int(x) for x in _os.environ['SDSM_DROP_BUCKETS'].split(',')
+                if x.strip()}
     P_BUCKETS = [b for b in P_BUCKETS if b not in _dropped]
 # 16384 splits what used to be a 4x jump (8192 -> 32768): on bench-like
 # nuclei fields ~40% of the DSM solves have 8192 < P <= 16384 and were

@@ -264,6 +264,8 @@ def _compute_generations(adjacencies, y_img, atoms_map, log_root_dir, pruning,
 def _get_max_distance(footprint, new_atom_label, adjacencies):
     """Maximum distance between the new atom's seed and the footprint seeds."""
     assert new_atom_label not in footprint
+    if not footprint:  # keep the pre-vectorization contract (benign 0)
+        return 0.0
     new_atom_seed = np.asarray(adjacencies.get_seed(new_atom_label), float)
     seeds = np.asarray([adjacencies.get_seed(label) for label in footprint],
                        float)

@@ -518,6 +518,9 @@ def test_batch_debug_flag_serial_telemetry(batch_root, monkeypatch, capsys):
     monkeypatch.setattr(batching, '_TELEMETRY', False)
     run_cli([str(batch_root), '--run', '--no-fork', '--force', '--fresh', '--debug'])
     captured = capsys.readouterr()
-    assert batching._TELEMETRY
-    assert os.environ.get('SDSM_SOLVE_TELEMETRY') == '1'
+    # telemetry was active during the task (it printed per-round stats) ...
     assert '[solve_problems]' in captured.err
+    # ... but is restored afterwards: a debug task in a --no-fork multi-task
+    # run must not leak diagnostics into subsequent tasks (ADVICE r4)
+    assert not batching._TELEMETRY
+    assert os.environ.get('SDSM_SOLVE_TELEMETRY') is None

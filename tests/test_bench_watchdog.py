@@ -121,6 +121,38 @@ def test_watchdog_completion_wins_race_against_inflight_fire():
     assert lines == ['{"metric": "real_result"}']
 
 
+PET_RACE_SNIPPET = """
+import bench, os, time, threading
+release = threading.Event()
+def slow_proxy():
+    release.wait(30)        # hold _fire mid-flight
+    return {'cpu_proxy_sec_per_image': 11.5}
+bench._run_cpu_proxy = slow_proxy
+os.environ['SDSM_BENCH_DEADLINE'] = '0.2'
+wd = bench._arm_tunnel_watchdog()
+time.sleep(1.0)             # timer has fired; _fire is inside slow_proxy
+wd._deadline = 60           # the re-armed timer must stay quiet for the test
+wd.pet()                    # a rep completes while _fire is mid-flight
+release.set()
+time.sleep(1.0)             # give the stale _fire a chance to misbehave
+wd.complete()
+print('{"metric": "real_result"}')
+"""
+
+
+def test_watchdog_pet_wins_race_against_inflight_fire():
+    """ADVICE r4 (low): a rep completing just as the deadline expires must
+    abort the already-started _fire — the generation captured at arm time
+    no longer matches after pet()."""
+    proc = subprocess.run(
+        [sys.executable, '-c', PET_RACE_SNIPPET], cwd=REPO,
+        capture_output=True, text=True, timeout=120,
+        env=dict(os.environ, PALLAS_AXON_POOL_IPS='', JAX_PLATFORMS='cpu'))
+    assert proc.returncode == 0, proc.stderr
+    lines = [l for l in proc.stdout.splitlines() if l.startswith('{')]
+    assert lines == ['{"metric": "real_result"}']
+
+
 def test_trim_spikes_reruns_wedged_rep():
     """VERDICT r3 item 5: a synthetic 10 s stall in one rep must move the
     trimmed p50 by < 5%."""
