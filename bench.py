@@ -185,6 +185,18 @@ class _TunnelWatchdog:
         os._exit(2)
 
 
+def _slow_gates_fresh():
+    """True iff the slow-gate stamp vouches for exactly this source tree."""
+    try:
+        from superdsm_tpu._gatestamp import is_fresh, staleness_message
+        fresh, _stamp = is_fresh()
+        if not fresh:
+            print(f'# {staleness_message()}', file=sys.stderr, flush=True)
+        return fresh
+    except Exception:
+        return False
+
+
 def _arm_tunnel_watchdog():
     deadline_s = float(os.environ.get('SDSM_BENCH_DEADLINE', 2700))
     if deadline_s <= 0:
@@ -313,6 +325,9 @@ def main():
         'warmup_warm_pass_s': round(warm_pass_s, 1),
         'cpu_proxy_sec_per_image': None if cpu_proxy is None
             else cpu_proxy['cpu_proxy_sec_per_image'],
+        # do the slow quality gates (tools/run_slow_gates.py) vouch for
+        # exactly this source tree? (VERDICT r4 item 7)
+        'slow_gates_fresh': _slow_gates_fresh(),
     }
     print(json.dumps(result))
     print(f'# warmup blocking {warmup_blocking_s:.1f}s ({warmup_detail}); '

@@ -108,7 +108,12 @@ def main():
     if not ok:
         print('[slow-gates] FAILED')
         sys.exit(1)
-    print('[slow-gates] all gates passed (0 skipped)')
+    sys.path.insert(0, str(REPO))
+    from superdsm_tpu._gatestamp import write_stamp, STAMP_PATH
+    stamp = write_stamp(gates=['cg', 'mesh', 'bbbc033', 'maxiter_iou',
+                               'dataset'])
+    print(f'[slow-gates] all gates passed (0 skipped); stamp '
+          f'{stamp["fingerprint"]} -> {STAMP_PATH}')
 
 
 if __name__ == '__main__':
