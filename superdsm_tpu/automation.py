@@ -8,6 +8,7 @@ stage's :meth:`~superdsm_tpu.pipeline.Stage.configure` spec is expanded into
 ``key = factor * AF_key`` config entries with type/min/max clamps.
 """
 
+import builtins
 import math
 
 import numpy as np
@@ -15,60 +16,73 @@ import numpy as np
 from .image import normalize_image
 from .ops.blob import blob_doh
 
-_max = max
-_min = min
+
+def _detection_sigmas(min_radius, max_radius, num_radii):
+    """DoH sigma grid for the radius search window, with a half-minimum
+    sentinel sigma prepended: detections landing on the sentinel are
+    below-window responses and get filtered out."""
+    window = np.linspace(min_radius, max_radius, num_radii) / math.sqrt(2)
+    return np.concatenate([[window.min() / 2], window])
+
+
+def _radius_consensus(radii):
+    """(consensus mean radius, inlier mask) via the paper's robust filter
+    (TPAMI 2023 §3.1): inliers lie within one mean-absolute-deviation of
+    the median radius."""
+    center = np.median(radii)
+    spread = np.mean(np.abs(radii - center))
+    inliers = (radii >= center - spread) & (radii <= center + spread)
+    return np.mean(radii[inliers]), inliers
 
 
 def _estimate_scale(im, min_radius=20, max_radius=200, num_radii=10,
                     thresholds=[0.01], inlier_tol=np.inf):
-    """Estimates the object scale sigma of an image
-    (semantics of ``/root/reference/superdsm/automation.py:41-68``:
-    median-absolute-deviation inlier filtering of detected blob radii, then
-    ``scale = mean radius / sqrt(2)``)."""
-    sigma_list = np.linspace(min_radius, max_radius, num_radii) / math.sqrt(2)
-    sigma_list = np.concatenate([[sigma_list.min() / 2], sigma_list])
+    """Estimates the object scale sigma of an image from the consensus
+    radius of masked determinant-of-Hessian blob detections
+    (``scale = mean radius / sqrt(2)``; TPAMI 2023 §3.1).
 
-    im_norm = normalize_image(im)
-    im_norm = im_norm / im_norm.max()
+    :return: ``(scale, detections, inlier_mask)``; raises
+        :class:`ValueError` when no threshold yields any in-window blob.
+    """
+    sigmas = _detection_sigmas(min_radius, max_radius, num_radii)
+    g = normalize_image(im)
+    g = g / g.max()
 
-    mean_radius = None
     for threshold in sorted(thresholds, reverse=True):
-        blobs = blob_doh(im_norm, sigma_list, threshold=threshold)
-        blobs = blobs[~np.isclose(blobs[:, 2], sigma_list.min())]
-        if len(blobs) == 0:
-            continue
+        detections = blob_doh(g, sigmas, threshold=threshold)
+        in_window = ~np.isclose(detections[:, 2], sigmas.min())
+        detections = detections[in_window]
+        if len(detections):
+            mean_radius, inliers = _radius_consensus(
+                detections[:, 2] * math.sqrt(2))
+            return mean_radius / math.sqrt(2), detections, inliers
 
-        radii = blobs[:, 2] * math.sqrt(2)
-        radii_median = np.median(radii)
-        radii_mad = np.mean(np.abs(radii - radii_median))
-        radii_inliers = np.logical_and(radii >= radii_median - radii_mad,
-                                       radii <= radii_median + radii_mad)
-        mean_radius = np.mean(radii[radii_inliers])
-        break
-
-    if mean_radius is None:
-        raise ValueError('scale estimation failed')
-    return mean_radius / math.sqrt(2), blobs, radii_inliers
+    raise ValueError('scale estimation failed')
 
 
 def _create_config_entry(cfg, key, factor, default_user_factor, type=None, min=None, max=None):
-    keys = key.split('/')
-    af_key = f'{"/".join(keys[:-1])}/AF_{keys[-1]}'
-    cfg.set_default(key, factor * cfg.get(af_key, default_user_factor), True)
+    """Sets ``key = factor * AF_key`` (the ``AF_`` sibling entry holds the
+    user's scale factor, defaulting to ``default_user_factor``), then applies
+    the optional ``type`` conversion and ``min``/``max`` clamps. Parameter
+    names are the stage-``configure`` spec contract."""
+    namespace, _, leaf = key.rpartition('/')
+    user_factor = cfg.get(f'{namespace}/AF_{leaf}', default_user_factor)
+    cfg.set_default(key, factor * user_factor, True)
     if type is not None:
         cfg.update(key, func=type)
     if min is not None:
-        cfg.update(key, func=lambda value: _max((value, min)))
+        cfg.update(key, func=lambda value, lo=min: builtins.max(value, lo))
     if max is not None:
-        cfg.update(key, func=lambda value: _min((value, max)))
+        cfg.update(key, func=lambda value, hi=max: builtins.min(value, hi))
 
 
 def create_config(pipeline, base_cfg, img):
     """Expands scale-dependent hyperparameter defaults into a new config.
 
     If ``AF_scale`` is set in ``base_cfg``, that scale is used directly;
-    otherwise the scale is estimated from ``img``
-    (cf. ``/root/reference/superdsm/automation.py:80-102``).
+    otherwise the scale is estimated from ``img``. Every stage contributes
+    ``(factor, default_user_factor[, kwargs])`` specs via its
+    :meth:`~superdsm_tpu.pipeline.Stage.configure` method.
 
     :return: ``(cfg, scale)``.
     """
@@ -77,12 +91,13 @@ def create_config(pipeline, base_cfg, img):
     if scale is None:
         scale = _estimate_scale(img, num_radii=10, thresholds=[0.01])[0]
     for stage in pipeline.stages:
-        specs = stage.configure(scale)
-        for key, spec in specs.items():
+        for key, spec in stage.configure(scale).items():
             assert len(spec) in (2, 3), \
-                f'{type(stage).__name__}.configure returned tuple of unknown length ({len(spec)})'
-            kwargs = dict() if len(spec) == 2 else spec[-1]
-            _create_config_entry(cfg, f'{stage.cfgns}/{key}', *spec[:2], **kwargs)
+                f'bad configure spec for {type(stage).__name__}/{key}: ' \
+                f'expected (factor, default[, kwargs]), got {len(spec)} items'
+            kwargs = spec[2] if len(spec) == 3 else {}
+            _create_config_entry(cfg, f'{stage.cfgns}/{key}', spec[0],
+                                 spec[1], **kwargs)
     return cfg, scale
 
 

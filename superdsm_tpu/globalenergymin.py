@@ -160,19 +160,17 @@ def _compute_generations(adjacencies, y_img, atoms_map, log_root_dir, pruning,
                          max_work_amount=DEFAULT_MAX_WORK_AMOUNT, out=None):
     out = get_output(out)
 
-    atoms = []
-    for atom_label in sorted(adjacencies.atom_labels):
-        c = Object()
-        c.footprint = {atom_label}
-        atoms.append(c)
+    def _candidate(footprint):
+        obj = Object()
+        obj.footprint = set(footprint)
+        return obj
+
+    atoms = [_candidate({label}) for label in sorted(adjacencies.atom_labels)]
     out.write('\nIteration 1:')
 
     cluster_labels = sorted(adjacencies.cluster_labels)
-    universes = []
-    for cluster_label in cluster_labels:
-        universe = Object()
-        universe.footprint = set(adjacencies.get_atoms_in_cluster(cluster_label))
-        universes.append(universe)
+    universes = [_candidate(adjacencies.get_atoms_in_cluster(label))
+                 for label in cluster_labels]
     # atoms and universes are solved in ONE batched pass (the reference runs
     # two separate Ray fan-outs, globalenergymin.py:186-199)
     compute_objects(atoms + universes, y_img, atoms_map, dsm_cfg,
@@ -278,113 +276,156 @@ def _is_within_max_seed_distance(footprint, new_atom_label, adjacencies, max_see
     return _get_max_distance(footprint, new_atom_label, adjacencies) <= max_seed_distance
 
 
-def _iterate_generation(previous_generation, adjacencies, max_seed_distance,
-                        get_footprint=lambda item: item, ignored_cluster_labels=set(),
-                        skip_last=False):
-    """Yields ``(item, new_footprint, new_atom_label)`` for each deduplicated
-    one-atom extension of the previous generation's footprints
-    (cf. ``/root/reference/superdsm/globalenergymin.py:292-307``)."""
-    existing_footprints = set()
-    for item in previous_generation:
-        footprint = get_footprint(item)
-        cluster_label = adjacencies.get_cluster_label(next(iter(footprint)))
-        if cluster_label in ignored_cluster_labels:
-            continue
-        if skip_last and len(footprint) + 1 == len(adjacencies.get_atoms_in_cluster(cluster_label)):
-            continue
-        adjacent_atoms = set()
-        for atom in footprint:
-            adjacent_atoms |= adjacencies[atom] - footprint
-        for new_atom_label in sorted(adjacent_atoms):
-            if not _is_within_max_seed_distance(footprint, new_atom_label,
-                                                adjacencies, max_seed_distance):
+class _FootprintExpansion:
+    """Deduplicated one-atom footprint growth — the expansion step of
+    Algorithm 1 (TPAMI 2023). Each candidate of a generation is an existing
+    footprint plus one adjacent atom within the seed-distance cap; a grown
+    footprint reachable from several parents is attributed to the first
+    parent only (parents in caller order, frontier atoms in sorted label
+    order — part of the determinism contract, see docs/stability.md).
+
+    One instance holds the dedup set for one generation; call :meth:`grow`
+    once per parent footprint.
+    """
+
+    def __init__(self, adjacencies, max_seed_distance,
+                 ignored_cluster_labels=frozenset(), skip_last=False):
+        self._adjacencies = adjacencies
+        self._max_seed_distance = max_seed_distance
+        self._ignored = ignored_cluster_labels
+        self._skip_last = skip_last
+        self._seen = set()
+
+    def _expandable(self, footprint, cluster_label):
+        if cluster_label in self._ignored:
+            return False
+        if not self._skip_last:
+            return True
+        # growing by one atom would reach the full cluster = the universe,
+        # which is always solved upfront — skip re-deriving it
+        cluster_size = len(self._adjacencies.get_atoms_in_cluster(cluster_label))
+        return len(footprint) + 1 != cluster_size
+
+    def _frontier(self, footprint):
+        adjacent = set()
+        for atom_label in footprint:
+            adjacent |= self._adjacencies[atom_label]
+        return sorted(adjacent - footprint)
+
+    def grow(self, footprint):
+        """Yields ``(grown_footprint, added_label)`` for each fresh one-atom
+        extension of ``footprint``."""
+        cluster_label = self._adjacencies.get_cluster_label(next(iter(footprint)))
+        if not self._expandable(footprint, cluster_label):
+            return
+        for added_label in self._frontier(footprint):
+            if not _is_within_max_seed_distance(footprint, added_label,
+                                                self._adjacencies,
+                                                self._max_seed_distance):
                 continue
-            new_footprint = frozenset(footprint | {new_atom_label})
-            if new_footprint not in existing_footprints:
-                existing_footprints |= {new_footprint}
-                yield item, new_footprint, new_atom_label
-
-
-def _get_next_generation(previous_generation, adjacencies, max_seed_distance, **kwargs):
-    return [new_footprint for _, new_footprint, _ in
-            _iterate_generation(previous_generation, adjacencies, max_seed_distance, **kwargs)]
+            grown = frozenset(footprint | {added_label})
+            if grown not in self._seen:
+                self._seen.add(grown)
+                yield grown, added_label
 
 
 def _estimate_progress(generations, adjacencies, max_seed_distance,
                        max_amount=DEFAULT_MAX_WORK_AMOUNT,
                        ignored_cluster_labels=set(), skip_last=False):
-    """Work-amount estimate; raises if it could exceed ``max_amount``
-    (cf. ``/root/reference/superdsm/globalenergymin.py:314-323``)."""
-    previous_generation = [c.footprint for c in generations[-1]]
+    """(finished, remaining) candidate counts for Algorithm 1's progress
+    display: simulates the full remaining expansion wavefront by wavefront
+    (footprints only, nothing solved) and raises :class:`ValueError` once
+    the count exceeds ``max_amount`` — the ``max_work_amount`` guard."""
+    finished_amount = sum(len(generation) for generation in generations)
+    frontier = [obj.footprint for obj in generations[-1]]
     remaining_amount = 0
-    while len(previous_generation) > 0:
-        next_generation = _get_next_generation(
-            previous_generation, adjacencies, max_seed_distance,
-            ignored_cluster_labels=ignored_cluster_labels, skip_last=skip_last)
-        remaining_amount += len(next_generation)
-        previous_generation = next_generation
+    while frontier:
+        expansion = _FootprintExpansion(adjacencies, max_seed_distance,
+                                        ignored_cluster_labels, skip_last)
+        frontier = [grown for footprint in frontier
+                    for grown, _ in expansion.grow(footprint)]
+        remaining_amount += len(frontier)
         if remaining_amount > max_amount:
             raise ValueError('estimated work amount is too large')
-    finished_amount = len(sum(generations, []))
     return finished_amount, remaining_amount
+
+
+def _exact_candidate_bounds(cover, objects, adjacencies, parent, added_label,
+                            footprint, cluster_costs):
+    """(lower, upper) cost bounds for one candidate under exact pruning.
+
+    Upper bound: the cluster's current MSC solution costs minus a lower
+    bound for covering the atoms outside the candidate (their singleton
+    energies) — if the candidate is part of a better cover, its costs
+    cannot exceed this. Lower bound: ``beta`` plus the better of the
+    monotonicity bound (parent energy + added atom energy) and the
+    max-set-packing bound over already-solved optimal subsets of the
+    candidate. ``cluster_costs`` memoizes MSC costs per cluster.
+    """
+    cluster_label = adjacencies.get_cluster_label(added_label)
+    if cluster_label not in cluster_costs:
+        cluster_costs[cluster_label] = cover.get_cluster_costs(cluster_label)
+    uncovered = adjacencies.get_atoms_in_cluster(cluster_label) - footprint
+    upper = cluster_costs[cluster_label] \
+        - sum(cover.get_atom(label).energy for label in uncovered)
+    solved_subsets = [obj for obj in objects
+                      if obj.is_optimal and obj.footprint.issubset(footprint)]
+    packing_energy = sum(obj.energy for obj in solve_maxsetpack(
+        solved_subsets, out=get_output(None).derive(muted=True)))
+    lower = cover.beta + max(
+        parent.energy + cover.get_atom(added_label).energy, packing_energy)
+    return lower, upper
 
 
 def _process_generation(cover, objects, previous_generation, y, atoms_map,
                         adjacencies, dsm_cfg, max_seed_distance, log_root_dir,
                         pruning, ignored_cluster_labels, out):
-    """Builds, prunes, and batch-solves the next generation of candidates
-    (cf. ``/root/reference/superdsm/globalenergymin.py:326-368``)."""
-    new_objects = []
-    new_objects_energy_thresholds = []
+    """Grows the next generation of candidates, prunes them by cost bounds
+    ('exact': Algorithm 1 bounds; 'isbi24': greedy threshold), batch-solves
+    the survivors on device in ONE :func:`compute_objects` call, and applies
+    the post-solve survival threshold. Returns ``(next_generation,
+    new_objects)`` where the former feeds the following iteration."""
+    expansion = _FootprintExpansion(adjacencies, max_seed_distance,
+                                    ignored_cluster_labels, skip_last=True)
+    candidates, thresholds = [], []
     discarded = 0
-    current_cluster_label = None
-    for obj, new_object_footprint, new_atom_label in _iterate_generation(
-            previous_generation, adjacencies, max_seed_distance,
-            lambda c: c.footprint, ignored_cluster_labels, skip_last=True):
-        cluster_label = adjacencies.get_cluster_label(next(iter(obj.footprint)))
-        if current_cluster_label != cluster_label:
-            current_cluster_label = cluster_label
-            current_cluster_costs = cover.get_cluster_costs(cluster_label)
-
-        new_object = Object()
-        new_object.footprint = new_object_footprint
-        new_object.init_from = obj  # warm-start from the parent's solution
-
-        if pruning == 'exact':
-            remaining_atoms = adjacencies.get_atoms_in_cluster(cluster_label) - new_object_footprint
-            min_remaining_atom_costs = sum(cover.get_atom(atom_label).energy
-                                           for atom_label in remaining_atoms)
-            new_object_maxsetpack = sum(c.energy for c in solve_maxsetpack(
-                [c for c in objects if c.is_optimal and c.footprint.issubset(new_object.footprint)],
-                out=get_output(None).derive(muted=True)))
-            min_new_object_costs = cover.beta + max(
-                obj.energy + cover.get_atom(new_atom_label).energy, new_object_maxsetpack)
-            max_new_object_costs = current_cluster_costs - min_remaining_atom_costs
-            # decision-quantized pruning bound (recompile stability):
-            # discarding is conservative, so a stable-near-tie keeps the
-            # candidate (it is then pruned or kept by its own solved energy)
-            if dq(max_new_object_costs) < dq(min_new_object_costs):
-                discarded += 1
+    cluster_costs = {}
+    for parent in previous_generation:
+        for footprint, added_label in expansion.grow(parent.footprint):
+            candidate = Object()
+            candidate.footprint = footprint
+            candidate.init_from = parent  # warm-start from the parent's solution
+            if pruning == 'exact':
+                lower, upper = _exact_candidate_bounds(
+                    cover, objects, adjacencies, parent, added_label,
+                    footprint, cluster_costs)
+                # decision-quantized pruning bound (recompile stability):
+                # discarding is conservative, so a stable-near-tie keeps the
+                # candidate (it is then pruned or kept by its own solved
+                # energy)
+                if dq(upper) < dq(lower):
+                    discarded += 1
+                    continue
+                thresholds.append(upper - cover.beta)
+            elif pruning == 'isbi24':
+                thresholds.append(parent.energy
+                                  + cover.get_atom(added_label).energy
+                                  + cover.beta)
             else:
-                new_objects_energy_thresholds.append(max_new_object_costs - cover.beta)
-                new_objects.append(new_object)
-        elif pruning == 'isbi24':
-            new_objects_energy_thresholds.append(
-                obj.energy + cover.get_atom(new_atom_label).energy + cover.beta)
-            new_objects.append(new_object)
-        else:
-            raise ValueError(f'Unknown pruning mode "{pruning}"')
+                raise ValueError(f'Unknown pruning mode "{pruning}"')
+            candidates.append(candidate)
 
-    compute_objects(new_objects, y, atoms_map, dsm_cfg, log_root_dir, out=out)
+    compute_objects(candidates, y, atoms_map, dsm_cfg, log_root_dir, out=out)
 
     next_generation = []
-    for new_object_idx, new_object in enumerate(new_objects):
+    for cidx, (candidate, threshold) in enumerate(zip(candidates, thresholds)):
+        candidate.cidx = cidx
         # decision-quantized survival threshold (recompile stability)
-        if dq(new_object.energy) < dq(new_objects_energy_thresholds[new_object_idx]):
-            next_generation.append(new_object)
+        if dq(candidate.energy) < dq(threshold):
+            next_generation.append(candidate)
         else:
             discarded += 1
-            new_object.fg_fragment = None  # only footprint + energy still needed
-        new_object.cidx = new_object_idx
-    out.write(f'Next iteration: {len(next_generation)} ({discarded} discarded, {pruning} pruning)')
-    return next_generation, new_objects
+            candidate.fg_fragment = None  # only footprint + energy still needed
+    out.write(f'Next iteration: {len(next_generation)} '
+              f'({discarded} discarded, {pruning} pruning)')
+    return next_generation, candidates
