@@ -83,6 +83,20 @@ def run_bbbc033_gate():
     return 'skipped' not in tail
 
 
+def run_nih3t3_gate():
+    env = dict(os.environ, SDSM_SLOW_TESTS='1')
+    proc = subprocess.run(
+        [sys.executable, '-m', 'pytest', 'tests/test_regression_nih3t3.py',
+         '-q', '-rs'],
+        cwd=str(REPO), env=env, capture_output=True, text=True)
+    tail = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ''
+    print(f'[slow-gates] nih3t3 gate: {tail}')
+    if proc.returncode != 0:
+        print(proc.stdout)
+        return False
+    return 'skipped' not in tail
+
+
 def run_dataset_gate():
     """Auto-discovering real-dataset lane (VERDICT r3 item 6): runs every
     reference dataset whose images are present under ``examples/data/`` and
@@ -103,6 +117,7 @@ def run_dataset_gate():
 def main():
     ok = run_pytest_gate()
     ok = run_bbbc033_gate() and ok
+    ok = run_nih3t3_gate() and ok
     ok = run_maxiter_iou_gate() and ok
     ok = run_dataset_gate() and ok
     if not ok:
@@ -110,8 +125,8 @@ def main():
         sys.exit(1)
     sys.path.insert(0, str(REPO))
     from superdsm_tpu._gatestamp import write_stamp, STAMP_PATH
-    stamp = write_stamp(gates=['cg', 'mesh', 'bbbc033', 'maxiter_iou',
-                               'dataset'])
+    stamp = write_stamp(gates=['cg', 'mesh', 'bbbc033', 'nih3t3',
+                               'maxiter_iou', 'dataset'])
     print(f'[slow-gates] all gates passed (0 skipped); stamp '
           f'{stamp["fingerprint"]} -> {STAMP_PATH}')
 
