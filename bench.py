@@ -259,6 +259,8 @@ def main():
         pet()
         return dt, data, timings
 
+    from superdsm_tpu.dsm.batching import device_accounting
+    acct0 = device_accounting()
     lat_times = []
     stage_acc = {}
     total_objects = 0
@@ -268,6 +270,15 @@ def main():
         total_objects += len(data['postprocessed_objects'])
         for name, t in timings.items():
             stage_acc[name] = stage_acc.get(name, 0.0) + t
+    acct1 = device_accounting()
+    # device utilization over the latency phase (VERDICT r4 item 5):
+    # device-path wall (pack+dispatch+fetch incl. tunnel latency — an upper
+    # bound on device-busy) over total wall, and estimated solver FLOPs vs
+    # one v5e chip's bf16 peak (197 TFLOP/s); method in docs/scaling.md
+    _dev_wall = acct1['wall_s'] - acct0['wall_s']
+    _dev_flop_hw = acct1['flop_hw'] - acct0['flop_hw']
+    device_busy_frac = _dev_wall / max(1e-9, sum(lat_times))
+    mfu_est = _dev_flop_hw / max(1e-9, _dev_wall) / 197e12
     lat_trimmed, n_lat_spikes = _trim_spikes(lat_times,
                                              lambda i: measure(i)[0])
     stage_split = {name: round(t / n_images, 3)
@@ -314,6 +325,8 @@ def main():
         'objects_per_sec': round(objects_per_image / throughput, 2),
         'objects_per_image': round(objects_per_image, 1),
         'stage_split_latency_s': stage_split,
+        'device_busy_frac': round(device_busy_frac, 3),
+        'mfu_est': round(mfu_est, 4),
         'warmup_s': round(warmup_blocking_s, 1),
         'warmup_blocking_s': round(warmup_blocking_s, 1),
         # attribution: compile is client-side (seconds, AOT sidecars);

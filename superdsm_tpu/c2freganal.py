@@ -237,45 +237,119 @@ class _SplitMemo:
         return self.d[key]
 
 
-def _speculate_children(memo, children, seed_distances, sd_token,
-                        min_atom_size, seed_connectivity, budget=12):
-    """Simulates the remaining split recursion under the all-accept
-    assumption and returns every predicted sub-region mask (BFS order).
+#: Sentinel energy for simulation nodes whose solve is still in flight.
+_E_UNKNOWN = object()
 
-    The split-queue loop is FIFO; assuming each attempted split is accepted
-    and every child stays above the energy threshold, the future seed
-    choices, watershed splits, and hence normalized-energy masks are fully
-    determined by the state at this yield point. Solving the predicted tree
-    in the SAME device round turns the following rounds into cache hits, so
-    a cluster's whole split chain costs one or two device rounds instead of
-    one per split. The simulation diverges where the assumption fails (a
-    child turns out to be a leaf, or a split is rejected by the
-    min-improvement rule); from there predictions are wasted padded batch
-    rows — correctness is untouched because speculative energies enter only
-    the mask-keyed cache, and a miss simply solves in a later round.
-    ``budget`` caps the number of speculative masks per yield.
+#: Per-yield caps: number of speculative solve masks, and total simulation
+#: steps (the retry paths re-enqueue nodes without emitting masks, so the
+#: mask budget alone would not bound host time).
+_SPEC_BUDGET = int(_os.environ.get('SDSM_C2F_SPEC_BUDGET', '12'))
+
+#: Maximum ASSUMED decisions along any simulated path: replaying known
+#: decisions is exact, but each unknown-energy assumption (a region assumed
+#: to split, an accept/reject assumed accepted) multiplies the chance the
+#: real loop never requests the predicted masks. Unbounded assumption
+#: chains measured on BBBC033: issued 218 / hit rate 0.31 (the budget kept
+#: refilling with fresh-but-deep wrong guesses each round) vs 137 / 0.42
+#: for the round-2 all-accept BFS.
+_SPEC_DEPTH = int(_os.environ.get('SDSM_C2F_SPEC_DEPTH', '2'))
+
+
+def _simulate_split_loop(memo, energy_lookup, nodes, seed_distances,
+                         sd_token, max_atom_norm_energy,
+                         min_norm_energy_improvement, min_atom_size,
+                         seed_connectivity, budget=None):
+    """Simulates the cluster's remaining split-queue iterations and returns
+    the region masks whose energies the real loop will request next
+    (FIFO order, capped by ``budget``).
+
+    Unlike the round-2 all-accept BFS (bench-field hit rate 1.00, BBBC033
+    0.42), this replays the REAL loop's control flow from the current queue
+    state: the deterministic retry paths (a too-small or degenerate child
+    puts the parent back with the next seed — no energy needed) are followed
+    exactly, and the accept / reject / leaf decisions use the TRUE
+    normalized energies wherever the cache already has them, falling back to
+    the accept assumption only for energies still in flight this round.
+    Each driver round re-simulates from the then-current state, so a
+    mispredicted decision costs one round and then self-corrects.
+
+    Correctness is untouched regardless of prediction quality: speculative
+    energies enter only the mask-keyed cache, and a miss simply solves in a
+    later round (see ``_norm_energies``).
+
+    ``nodes`` are ``(mask, seed, seed_key, energy)`` in real queue order
+    (``energy`` is a float for already-solved regions, ``_E_UNKNOWN`` for
+    regions whose solve rides the current round).
     """
     import collections
+    if budget is None:
+        budget = _SPEC_BUDGET
     masks = []
     sd, sd_tok = seed_distances, sd_token
-    q = collections.deque(children)
-    while q and len(masks) < budget:
-        mask, seed, seed_key = q.popleft()
-        if seed is None or mask.sum() < 2 * min_atom_size:
+    q = collections.deque((n[0], n[1], n[2], n[3], 0) for n in nodes)
+    steps = 4 * budget + 32
+    while q and len(masks) < budget and steps > 0:
+        steps -= 1
+        mask, seed, seed_key, energy, assumed = q.popleft()
+        if seed is None:
             continue
+        if energy is None:
+            continue  # degenerate region: the real loop keeps it as a leaf
+        if energy is not _E_UNKNOWN \
+                and not dq(energy) > dq(max_atom_norm_energy):
+            continue  # known leaf
+        if energy is _E_UNKNOWN:
+            if assumed >= _SPEC_DEPTH:
+                continue  # too many stacked assumptions along this path
+            assumed += 1  # assume the region turns out splittable
+        if mask.sum() < 2 * min_atom_size:
+            continue  # too small to split
         mask_key = _hash_mask(mask)
         s2 = memo.seed(mask_key, mask, sd, sd_tok, seed_connectivity)
         if s2 is None:
-            continue
+            continue  # no admissible second seed: leaf
         s2_key = _hash_mask(s2)
         sd = np.minimum(sd, memo.seed_edt(s2, s2_key))
         sd_tok = sd_tok + (s2_key,)
         m1, m2 = memo.split(mask_key, mask, seed, seed_key, s2, s2_key)
-        if m1.sum() < min_atom_size or m2.sum() < min_atom_size:
-            continue  # the real loop would retry with another seed; one shot only
-        masks += [m1, m2]
-        q.append((m1, seed, seed_key))
-        q.append((m2, s2, s2_key))
+        # deterministic retry paths — the real loop re-queues the parent
+        # with an updated seed choice, no solve involved
+        if m1.sum() < min_atom_size:
+            q.append((mask, s2, s2_key, energy, assumed))
+            continue
+        if m2.sum() < min_atom_size:
+            q.append((mask, seed, seed_key, energy, assumed))
+            continue
+        e1 = energy_lookup(m1)
+        e2 = energy_lookup(m2)
+        for m, e in ((m1, e1), (m2, e2)):
+            if e is _E_UNKNOWN:
+                masks.append(m)
+        # degenerate child: the real loop retries the parent (seed swaps to
+        # s2 when the FIRST child was degenerate)
+        if e1 is None and e2 is None:
+            q.append((mask, seed, seed_key, energy, assumed))
+            continue
+        if e1 is None:
+            q.append((mask, s2, s2_key, energy, assumed))
+            continue
+        if e2 is None:
+            q.append((mask, seed, seed_key, energy, assumed))
+            continue
+        # accept/reject: exact when all three energies are known, assumed
+        # accepted otherwise
+        if energy is not _E_UNKNOWN and e1 is not _E_UNKNOWN \
+                and e2 is not _E_UNKNOWN:
+            improvement = 1 - max(e1, e2) / energy
+            if dq(improvement) < dq(min_norm_energy_improvement):
+                q.append((mask, seed, seed_key, energy, assumed))  # rejected
+                continue
+        else:
+            if assumed >= _SPEC_DEPTH:
+                continue
+            assumed += 1  # assume the split gets accepted
+        q.append((m1, seed, seed_key, e1, assumed))
+        q.append((m2, s2, s2_key, e2, assumed))
     return masks
 
 
@@ -304,19 +378,45 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
     leaf_candidates = []
     split_queue = queue.Queue()
 
-    def _spec_thunk(children, sd, sd_tok):
-        """Lazy speculation: the (EDT + watershed) simulation only runs when
-        the driver round happens anyway; a failure never breaks the loop.
+    def _energy_lookup(raw_mask):
+        """Normalized energy of a region: float if already in the cache,
+        ``None`` if degenerate (single-signed offsets — never solved),
+        ``_E_UNKNOWN`` otherwise. MUST mirror ``_norm_energies.classify``'s
+        cp-mask derivation, or speculation silently turns into dead
+        compute."""
+        cp_mask = raw_mask & masked_cluster.mask & (bg_edt <= background_margin)
+        key = _hash_mask(cp_mask)
+        if key in cache:
+            return cache[key]
+        vals = masked_cluster.model[cp_mask]
+        if vals.size == 0 or (vals > 0).all() or (vals < 0).all():
+            return None
+        return _E_UNKNOWN
+
+    def _spec_thunk(fresh_nodes, sd, sd_tok):
+        """Lazy speculation: the split-loop simulation only runs when the
+        driver round happens anyway; a failure never breaks the loop.
         ``sd`` may be a zero-arg callable producing the seed-distance map —
         clusters that never split (and runs with speculation off) then skip
-        that EDT entirely (memoized, so the split loop shares the result)."""
+        that EDT entirely (memoized, so the split loop shares the result).
+        The simulation starts from the REAL queue state: pending siblings
+        (whose energies are known) in FIFO order, then the fresh nodes whose
+        solve rides this round."""
+        pending = [(c, c.seed, c._seed_key, c.normalized_energy)
+                   for c in list(split_queue.queue)]
+
         def run():
             if not speculate:
                 return ()
             try:
                 sd_val = sd() if callable(sd) else sd
-                return _speculate_children(memo, children, sd_val, sd_tok,
-                                           min_atom_size, seed_connectivity)
+                nodes = [(c.get_mask(atoms_map), s, k, e)
+                         for c, s, k, e in pending] + \
+                        [(m, s, k, _E_UNKNOWN) for m, s, k in fresh_nodes]
+                return _simulate_split_loop(
+                    memo, _energy_lookup, nodes, sd_val, sd_tok,
+                    max_atom_norm_energy, min_norm_energy_improvement,
+                    min_atom_size, seed_connectivity)
             except Exception:
                 return ()
         return run

@@ -21,6 +21,48 @@ import numpy as np
 #: Set SDSM_SOLVE_TELEMETRY=1 to print per-call dispatch/fetch timings.
 _TELEMETRY = _os.environ.get('SDSM_SOLVE_TELEMETRY') == '1'
 
+#: Always-on device accounting (VERDICT r4 item 5: an MFU-style utilization
+#: figure in the bench JSON). Accumulates per solve_problems call: the wall
+#: time attributed to the device path (pack+dispatch+fetch, an UPPER bound —
+#: it includes the ~43 ms/round tunnel latency and transfer time), the
+#: per-lane Newton iterations actually executed, and an analytic estimate
+#: of the solver FLOPs (see _estimate_chunk_flops). Snapshot via
+#: device_accounting(); bench.py reports device_busy_frac and mfu_est.
+_DEVICE_ACCT = {'wall_s': 0.0, 'flop_logical': 0.0, 'flop_hw': 0.0,
+                'lane_iters': 0, 'calls': 0}
+_DEVICE_ACCT_LOCK = _threading.Lock()
+
+
+def device_accounting():
+    """A snapshot (dict copy) of the cumulative device-path accounting."""
+    with _DEVICE_ACCT_LOCK:
+        return dict(_DEVICE_ACCT)
+
+
+def _estimate_chunk_flops(kind, pb, kb, lane_iters):
+    """(logical, hardware) FLOP estimates for one dispatched chunk.
+
+    Per lane-iteration model (documented in docs/scaling.md): the Gram
+    matrix dominates — ``2 * P * n^2`` logical FLOPs with ``n = K + 6``
+    model parameters — plus the Newton direction solve ``n^3 / 3``
+    (batched Cholesky at n <= 256, PCG of similar cost above). Per lane:
+    the deformation-basis build ``~10 * P * K`` (exp + polynomial terms).
+    Frozen-lane kernel skips are already reflected in the fetched per-lane
+    iteration counts. Hardware FLOPs scale the Gram part by the 6-pass
+    float32 emulation the MXU actually executes (bf16 passes,
+    SDSM_GRAM_PASSES=6); poly (deformation-free) solves are elementwise
+    line searches, counted at their logical cost.
+    """
+    n = (6 if kind.startswith('poly') else kb + 6)
+    iters = float(np.sum(lane_iters))
+    gram = 2.0 * pb * n * n * iters
+    direction = (n ** 3 / 3.0) * iters
+    per_lane = 10.0 * pb * kb * len(lane_iters)
+    logical = gram + direction + per_lane
+    hw = (6.0 if not kind.startswith('poly') else 1.0) * gram \
+        + direction + per_lane
+    return logical, hw
+
 from .solver import (solve_polynomial_batch, solve_dsm_batch, unpack_fg,
                      DEFAULT_MAXITER, DEFAULT_TOL)
 from .smooth import prepare_deformation, smooth_matrix_params
@@ -312,9 +354,14 @@ def _record_shapes(entries):
         pass
 
 
-def _warmup_shapes(include_observed=False):
+def _warmup_shapes(include_observed=False, include_large=False):
     """The shipped default shape list (observed on bench-like workloads);
-    with ``include_observed`` also the shapes this machine has dispatched.
+    with ``include_observed`` also the shapes this machine has dispatched,
+    and with ``include_large`` the shipped big-bucket programs
+    (``warmup_shapes_large.json``: the 131072/524288-pixel shapes a real
+    1024x1344 microscopy frame dispatches — VERDICT r4 item 1a). Large
+    shapes are opt-in because their per-process server-side program loads
+    are exactly the cost small-field workloads (bench) must not pay.
 
     The observed sidecar grows with every distinct workload (a single large
     mosaic adds its own bucket ladder), so it is opt-in: warming an
@@ -322,8 +369,11 @@ def _warmup_shapes(include_observed=False):
     shapes the current workload never uses."""
     import json
     shapes = set()
-    default_path = _os.path.join(_os.path.dirname(__file__), 'warmup_shapes.json')
-    paths = [default_path] + ([_shape_stats_path()] if include_observed else [])
+    here = _os.path.dirname(__file__)
+    paths = [_os.path.join(here, 'warmup_shapes.json')] \
+        + ([_os.path.join(here, 'warmup_shapes_large.json')]
+           if include_large else []) \
+        + ([_shape_stats_path()] if include_observed else [])
     for path in paths:
         if path and _os.path.exists(path):
             try:
@@ -375,7 +425,7 @@ def _warmup_job(kind, pb, kb, Bp, maxiter, tol, sigma, cutoff):
 
 
 def warmup(shapes=None, maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, sigma=4.0,
-           cutoff=16, threads=8, compile_only=False):
+           cutoff=16, threads=8, compile_only=False, include_large=False):
     """Pre-compiles the solver programs for ``shapes`` — an iterable of
     ``(kind, P, K, B)`` tuples, defaulting to the shapes observed in practice
     (shipped ``warmup_shapes.json`` merged with this machine's dispatch
@@ -406,7 +456,7 @@ def warmup(shapes=None, maxiter=DEFAULT_MAXITER, tol=DEFAULT_TOL, sigma=4.0,
     """
     from concurrent.futures import ThreadPoolExecutor
     if shapes is None:
-        shapes = _warmup_shapes()
+        shapes = _warmup_shapes(include_large=include_large)
     # Entries are (kind, P, K, B) + statics. The statics are COMPILE-TIME
     # program parameters, so they are part of the production aot.dispatch
     # key (a workload with smooth_amount != the warmup default would
@@ -1038,10 +1088,11 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
         sel = [(outs[0], outs[ix['f']], outs[ix['bad']], outs[ix['fg']])
                for kind, _, outs in pending
                for ix in (_ix(kind),)]
-    if _TELEMETRY:
-        # iteration counters ride the same fetch (a second device_get would
-        # cost another tunnel round trip and distort the timing it reports)
-        sel = (sel, [outs[_ix(kind)['it']] for kind, _, outs in pending])
+    # iteration counters ride the same fetch (a second device_get would
+    # cost another tunnel round trip and distort the timing it reports);
+    # they are (B,) int32 leaves — bytes, not milliseconds — and feed the
+    # always-on device accounting
+    sel = (sel, [outs[_ix(kind)['it']] for kind, _, outs in pending])
     try:
         fetched = _fetch_with_deadline(sel, timeout)
     except SolveTimeout:
@@ -1072,8 +1123,23 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
             init=init, maxiter=maxiter, tol=tol, out=out,
             progress_line=progress_line, fetch=fetch, timeout=timeout)
     _WARM_SHAPES.update(dispatched_shapes)
-    if _TELEMETRY:
-        fetched, _its = fetched
+    fetched, _its = fetched
+    _t_done = _time.time()
+    _flop_l = _flop_h = 0.0
+    _iters_total = 0
+    for shape, ((kind, chunk, _), it) in zip(dispatched_shapes,
+                                             zip(pending, _its)):
+        lane_iters = np.asarray(it)[:len(chunk)]
+        fl, fh = _estimate_chunk_flops(kind, shape[1], shape[2], lane_iters)
+        _flop_l += fl
+        _flop_h += fh
+        _iters_total += int(np.sum(lane_iters))
+    with _DEVICE_ACCT_LOCK:
+        _DEVICE_ACCT['wall_s'] += _t_done - _t_start
+        _DEVICE_ACCT['flop_logical'] += _flop_l
+        _DEVICE_ACCT['flop_hw'] += _flop_h
+        _DEVICE_ACCT['lane_iters'] += _iters_total
+        _DEVICE_ACCT['calls'] += 1
     if _TELEMETRY:
         # per-lane convergence iterations: (kind, n_real, max over real
         # lanes, mean over real lanes). max/mean gap = gram FLOPs the

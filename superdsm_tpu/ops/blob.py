@@ -18,7 +18,6 @@ import functools
 import math
 
 import numpy as np
-import scipy.ndimage as ndi
 import jax
 import jax.numpy as jnp
 
@@ -105,37 +104,97 @@ def _doh_response(img, sigmas):
     return jnp.stack(dohs), jnp.stack(logs)
 
 
+def _f32_threshold(threshold):
+    """Largest float32 ``t32`` with ``{x_f32 : x > t32}`` equal to
+    ``{x_f32 : float64(x) > threshold}`` — float32 values are discrete, so
+    thresholding on device in f32 stays EXACTLY equivalent to the former
+    host-side float64 comparison."""
+    t32 = np.float32(threshold)
+    if float(t32) > float(threshold):
+        t32 = np.nextafter(t32, np.float32(-np.inf), dtype=np.float32)
+    return t32
+
+
+@functools.partial(jax.jit, static_argnames=('sigmas', 'log_mask'))
+def _doh_peak_mask(img, sigmas, threshold, log_mask):
+    """DoH responses + 3x3x3 local-maximum detection fused on device.
+
+    Returns the masked response cube (still on device — peak values are
+    gathered from it in a follow-up tiny dispatch) and the bit-packed
+    local-maximum mask, whose fetch is 32x smaller than the former
+    two-float-cube fetch (measured on 1344x1024 x 11 sigmas: 121 MB -> 1.9
+    MB through the ~50 MB/s tunnel). Semantics replicate
+    ``ndi.maximum_filter(cube, ones((3,3,3)), mode='constant') == cube``
+    exactly: constant-0 padding on every axis (including the sigma axis)
+    and the equality/threshold tests in the same float32 values.
+    """
+    dohs, logs = _doh_response(img, sigmas)
+    if log_mask:
+        dohs = dohs * (logs < 0)
+    padded = jnp.pad(dohs, 1, constant_values=0.0)
+    neigh_max = jax.lax.reduce_window(
+        padded, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), 'VALID')
+    peaks = (neigh_max == dohs) & (dohs > threshold)
+    flat = peaks.reshape(-1)
+    pad = (-flat.shape[0]) % 8
+    flat = jnp.concatenate([flat, jnp.zeros((pad,), bool)])
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    packed = (flat.reshape(-1, 8).astype(jnp.uint8) * weights).sum(
+        axis=1, dtype=jnp.uint8)
+    return dohs, packed
+
+
+@jax.jit
+def _gather_values(cube, coords):
+    return cube[coords[:, 0], coords[:, 1], coords[:, 2]]
+
+
+def _lens_overlap_frac(r1, r2, d):
+    """Area of the lens intersection of two disks over the smaller disk's
+    area (scalar; called only for the rare partially-overlapping pairs)."""
+    r1sq, r2sq, dsq = r1 ** 2, r2 ** 2, d ** 2
+    alpha1 = math.acos(np.clip((dsq + r1sq - r2sq) / (2 * d * r1), -1, 1))
+    alpha2 = math.acos(np.clip((dsq + r2sq - r1sq) / (2 * d * r2), -1, 1))
+    area = (r1sq * (alpha1 - math.sin(2 * alpha1) / 2)
+            + r2sq * (alpha2 - math.sin(2 * alpha2) / 2))
+    return area / (math.pi * min(r1sq, r2sq))
+
+
 def _prune_blobs(blobs, overlap):
     """Removes the lower-response blob of every overlapping pair
-    (disk-overlap semantics of skimage ``_prune_blobs``)."""
+    (disk-overlap semantics of skimage ``_prune_blobs``).
+
+    The kill scan for one surviving blob is vectorized (saturated-glare
+    plateaus produce 10^5 coincident local maxima; the scalar inner loop
+    measured ~6 s on BBBC033): full-containment pairs (``d <= |r1 - r2|``,
+    frac 1.0 — the plateau case) and non-interacting pairs (``d > r1 + r2``)
+    resolve array-wise, and only the rare partially-overlapping pairs run
+    the scalar lens-area formula — bit-identical decisions to the scalar
+    loop, which only ever cleared ``keep`` flags of later (weaker) blobs.
+    """
     if len(blobs) == 0:
         return blobs
     order = np.argsort(-blobs[:, 3])
     blobs = blobs[order]
+    radii = blobs[:, 2] * math.sqrt(2)
     keep = np.ones(len(blobs), bool)
     for i in range(len(blobs)):
         if not keep[i]:
             continue
-        for j in range(i + 1, len(blobs)):
-            if not keep[j]:
-                continue
-            r1 = blobs[i, 2] * math.sqrt(2)
-            r2 = blobs[j, 2] * math.sqrt(2)
-            d = np.linalg.norm(blobs[i, :2] - blobs[j, :2])
-            if d > r1 + r2:
-                continue
-            if d <= abs(r1 - r2):
-                frac = 1.0
-            else:
-                # area of lens intersection over smaller disk area
-                r1sq, r2sq, dsq = r1 ** 2, r2 ** 2, d ** 2
-                alpha1 = math.acos(np.clip((dsq + r1sq - r2sq) / (2 * d * r1), -1, 1))
-                alpha2 = math.acos(np.clip((dsq + r2sq - r1sq) / (2 * d * r2), -1, 1))
-                area = (r1sq * (alpha1 - math.sin(2 * alpha1) / 2)
-                        + r2sq * (alpha2 - math.sin(2 * alpha2) / 2))
-                frac = area / (math.pi * min(r1sq, r2sq))
-            if frac > overlap:
-                keep[j] = False
+        js = np.nonzero(keep[i + 1:])[0] + (i + 1)
+        if js.size == 0:
+            continue
+        r1, r2 = radii[i], radii[js]
+        diff = blobs[js, :2] - blobs[i, :2]
+        d = np.sqrt((diff * diff).sum(axis=1))
+        interacting = ~(d > r1 + r2)
+        contained = interacting & (d <= np.abs(r1 - r2))
+        if overlap < 1.0:
+            keep[js[contained]] = False  # frac == 1.0 > overlap
+        partial = np.nonzero(interacting & ~contained)[0]
+        for jdx in partial:
+            if _lens_overlap_frac(r1, float(r2[jdx]), float(d[jdx])) > overlap:
+                keep[js[jdx]] = False
     return blobs[keep]
 
 
@@ -148,19 +207,24 @@ def blob_doh(image, sigma_list, threshold=0.01, overlap=0.5, log_mask=True):
         ``/root/reference/superdsm/automation.py:52``).
     """
     img = jnp.asarray(np.asarray(image, np.float32))
-    dohs, logs = _doh_response(img, tuple(float(s) for s in sigma_list))
-    dohs, logs = jax.device_get((dohs, logs))
-    if log_mask:
-        dohs = dohs * (logs < 0)
-    cube = np.moveaxis(dohs, 0, -1)
-    footprint = np.ones((3, 3, 3), bool)
-    local_max = (ndi.maximum_filter(cube, footprint=footprint, mode='constant') == cube)
-    local_max &= cube > threshold
-    coords = np.argwhere(local_max)
+    sigmas = tuple(float(s) for s in sigma_list)
+    cube_dev, packed = _doh_peak_mask(img, sigmas, _f32_threshold(threshold),
+                                      bool(log_mask))
+    # only the bit-packed peak mask crosses the tunnel; peak values are
+    # gathered from the on-device cube afterwards (a tiny second round)
+    packed = jax.device_get(packed)
+    S, (H, W) = len(sigmas), img.shape
+    peaks = np.unpackbits(packed)[:S * H * W].reshape(S, H, W).astype(bool)
+    # argwhere order of the former host (H, W, S) cube = row-major in
+    # (row, col, sigma) — preserved so downstream tie behavior is unchanged
+    coords = np.argwhere(np.moveaxis(peaks, 0, -1))
     if coords.size == 0:
         return np.empty((0, 4))
+    dev_coords = coords[:, [2, 0, 1]].astype(np.int32)  # (sigma, row, col)
+    values = np.asarray(jax.device_get(
+        _gather_values(cube_dev, jnp.asarray(dev_coords))), np.float64)
     blobs = np.zeros((len(coords), 4))
     blobs[:, :2] = coords[:, :2]
     blobs[:, 2] = np.asarray(sigma_list)[coords[:, 2]]
-    blobs[:, 3] = cube[coords[:, 0], coords[:, 1], coords[:, 2]]
+    blobs[:, 3] = values
     return _prune_blobs(blobs, overlap)
