@@ -51,16 +51,24 @@ tools/ab_bbbc033.py, bench seed 0 + BBBC033, 2026-08-20):
   identical decisions on both images; label maps bitwise on the bench
   image, one object's boundary +-0.5% area on BBBC033 (kernel rounding).
 * Bucket-ladder / batch-shape changes (``SDSM_DROP_BUCKETS``, mesh
-  ``min_batch`` padding): all REAL-object decisions held on both images;
-  SEPARABLE (junk/ambiguous) solves are chaotic — the LM trajectory
-  truncates on a different creep plateau (measured 43.9 vs 1174 on one
-  junk singleton; see the scale-sweep note in ``dsm/solver.py``) — and
-  one such object per image may flip a postprocess discard or an
-  ambiguous split. ``P_BUCKETS``/chunking are therefore part of the
-  PINNED numerical contract, exactly like the reference's pinned
-  ``blas=1.0=mkl`` stack: changing them is a declared numerics change,
-  re-validated by the gates (zero-flip on the accelerator backend for
-  same-ladder recompiles; ``tests/regression/run_bbbc033.py``).
+  ``min_batch`` padding): SEPARABLE (junk/ambiguous) solves truncate
+  CHAOTICALLY on the logistic creep (measured 43.9 vs 1174 on one junk
+  singleton; see the scale-sweep note in ``dsm/solver.py``), so their
+  energies used to depend on the packing and ``P_BUCKETS``/chunking had
+  to be declared part of the pinned numerical contract (rounds 3-4).
+  **Round 5 removed that pin**: every non-converged DSM lane is re-solved
+  at a FROZEN canonical shape (``dsm/batching.py``,
+  ``_CANONICAL_RESOLVE`` — measured basis: a lane's trajectory is bitwise
+  independent of the other lanes and of lane order, and depends only on
+  the program shape; ``tools/probe_packing_invariance.py``). Flagged-lane
+  energies are therefore a pure function of the problem; converged lanes
+  drift <= ~1e-4 under repacks, well inside the dq() grid. Ladder and
+  chunking changes are now ordinary perf knobs, re-validated by
+  ``tests/test_canonical_resolve.py`` and the decision A/Bs
+  (``tools/ab_decision_drift.py``). Residual caveat: a flagged lane whose
+  WARM START came from a converged parent inherits that parent's ~1e-5
+  parameter drift, which chaos can amplify — not observed to flip a
+  decision, and the zero-flip gate guards it.
 
 ``SDSM_DECISION_QUANT_BITS=0`` disables quantization (raw comparisons).
 """

@@ -29,7 +29,7 @@ _TELEMETRY = _os.environ.get('SDSM_SOLVE_TELEMETRY') == '1'
 #: of the solver FLOPs (see _estimate_chunk_flops). Snapshot via
 #: device_accounting(); bench.py reports device_busy_frac and mfu_est.
 _DEVICE_ACCT = {'wall_s': 0.0, 'flop_logical': 0.0, 'flop_hw': 0.0,
-                'lane_iters': 0, 'calls': 0}
+                'lane_iters': 0, 'calls': 0, 'canonical_lanes': 0}
 _DEVICE_ACCT_LOCK = _threading.Lock()
 
 
@@ -71,11 +71,11 @@ from . import aot
 #: Pixel-count buckets (padded shapes compile once each).
 P_BUCKETS = [2048, 6144, 8192, 12288, 16384, 24576, 32768, 131072, 524288,
              2097152]
-# The ladder is part of the PINNED numerical contract (_stability.py):
-# repacking changes reduction rounding, which the LM accept/reject branches
-# amplify chaotically on separable (junk-class) solves. SDSM_DROP_BUCKETS
-# is the A/B knob the stability gates use to exercise exactly that class;
-# production keeps the full ladder.
+# The ladder is an ordinary performance knob: truncated lanes are
+# re-solved at the FROZEN canonical shape (_CANONICAL_RESOLVE below), so
+# repacks no longer move their chaotic energies (rounds 3-4 had to pin the
+# ladder instead). SDSM_DROP_BUCKETS remains the A/B knob the stability
+# gates use to exercise repacks; production keeps the full ladder.
 if _os.environ.get('SDSM_DROP_BUCKETS'):
     _dropped = {int(x) for x in _os.environ['SDSM_DROP_BUCKETS'].split(',')
                 if x.strip()}
@@ -92,6 +92,34 @@ if _os.environ.get('SDSM_DROP_BUCKETS'):
 # multiples of 2048 (pallas row-tile alignment for every K bucket).
 #: Deformation-dimension buckets.
 K_BUCKETS = [0, 26, 58, 122, 250, 506, 1018, 2042]  # 6+K = powers of two (tile-aligned)
+
+#: Canonical re-solve of non-converged DSM lanes (VERDICT r4 item 2).
+#: Measured (tools/probe_packing_invariance.py, real chip): a lane's solve
+#: trajectory is bitwise independent of the OTHER lanes' data and of lane
+#: order, but depends on the program shape (P bucket and batch B) — and
+#: LM-stalling separable solves truncate CHAOTICALLY, so their energies
+#: used to depend on the runtime bucket ladder and chunking. Re-solving
+#: exactly those lanes in a FROZEN canonical shape (ladder below, fixed
+#: B, elliptical-init branch forced, mesh bypassed) makes their energies a
+#: pure function of the problem, which un-pins the production ladder and
+#: chunking from the numerical contract. Converged lanes drift <= ~1e-4
+#: under repacks (same probe) — absorbed by the dq() decision grid.
+#: Truncated POLY lanes measured bitwise B-invariant (0.0 drift) and are
+#: exempt. SDSM_CANONICAL_RESOLVE=0 disables (A/B knob).
+_CANONICAL_RESOLVE = _os.environ.get('SDSM_CANONICAL_RESOLVE', '1') == '1'
+#: FROZEN: never derive these from the runtime P_BUCKETS/K_BUCKETS — the
+#: contract is that canonical energies survive ladder experiments.
+_CANONICAL_P_LADDER = (2048, 6144, 8192, 12288, 16384, 24576, 32768,
+                       131072, 524288, 2097152)
+_CANONICAL_K_LADDER = (26, 58, 122, 250, 506, 1018, 2042)
+#: B=1: canonical chunks carry NO padding lanes (padding at the big pixel
+#: buckets measured ~40% of the canonical wave's device time), dispatches
+#: are async so the per-dispatch overhead stays off the critical path, and
+#: composition independence is trivial. One program per (P*, K*) either way.
+_CANONICAL_B = 1
+#: Tags of the lanes the last solve_problems call re-solved canonically
+#: (test/debug aid; see tests/test_canonical_resolve.py).
+_LAST_FLAGGED = []
 
 #: Pixel count beyond which a region is solved on a uniform pixel subsample
 #: (weights rescaled; see ``solve_problems``) — the feature matrix
@@ -966,6 +994,60 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                 pending.append(('poly-m' if use_mask else 'poly', chunk, outs))
 
     from .solver import (_solve_dsm_packed_mask, MASK_BITS_PER_PIXEL)
+
+    def _dsm_chunk_arrays(chunk, pb, kb, Bp, use_mask, warm_tail_all):
+        """Packs one dsm chunk into its device arrays (ONE construction for
+        the production dispatch and the canonical re-solve — any divergence
+        here would silently break the canonical-energy contract).
+
+        ``warm_tail_all``: padding rows' USE_WARM value. Production passes
+        True semantics (all-of-real — preserves the all-warm elliptical
+        skip); the canonical re-solve passes False so the
+        better-of(elliptical, warm) init path always runs, making each
+        lane's trajectory independent of which other lanes share the
+        canonical chunk (the elliptical skip is a chunk-global branch).
+        """
+        OFF = np.zeros((Bp, 2), np.int32)
+        CNT = np.zeros((Bp,), np.int32)
+        YQ = np.zeros((Bp, pb), np.int16)
+        YS = np.zeros((Bp,), np.float32)
+        SUB = np.full((Bp, kb, 2), -10 * (cutoff + 1), np.int16)
+        KM = np.zeros((Bp, kb), np.float32)
+        WARM = np.zeros((Bp, 6 + kb), np.float32)
+        USE_WARM = np.zeros((Bp,), bool)
+        if use_mask:
+            MB = np.zeros((Bp, (pb * MASK_BITS_PER_PIXEL) // 8), np.uint8)
+            WDT = np.ones((Bp,), np.int32)
+        else:
+            PIXa = np.zeros((Bp, pb, 2), np.int16)
+        for j, i in enumerate(chunk):
+            p = problems[i]
+            npix, k = p.n_pixels, p.n_deform
+            if use_mask:
+                pm = p.packed_mask
+                MB[j, :len(pm)] = pm
+                WDT[j] = p.crop_shape[1]
+            else:
+                PIXa[j, :npix] = p.pts
+            OFF[j] = p.offset
+            CNT[j] = npix
+            YQ[j, :npix] = p.yq
+            YS[j] = p.yscale
+            SUB[j, :k] = p.sub
+            KM[j, :k] = 1.0
+            if p.init_params is not None:
+                WARM[j, :6 + k] = p.init_params
+                USE_WARM[j] = True
+        # padding rows (CNT=0, result unused) must not defeat the all-warm
+        # elliptical skip inside _solve_dsm_packed
+        if warm_tail_all:
+            USE_WARM[len(chunk):] = USE_WARM[:len(chunk)].all()
+        ALPHA = np.full(Bp, alpha, np.float32)
+        for j, i in enumerate(chunk):
+            ALPHA[j] *= problems[i].alpha_scale
+        head = (MB, WDT) if use_mask else (PIXa,)
+        return head + (OFF, CNT, YQ, YS, SUB, KM, WARM, USE_WARM, ALPHA)
+
     for (pb, kb), idxs in sorted(dsm_groups.items()):
         # cold problems first: warm-started lanes converge in far fewer
         # iterations and freeze individually, so sorting packs the warm
@@ -985,67 +1067,24 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                 dispatched_shapes.append(
                     ('dsm-m' if use_mask else 'dsm', pb, kb, Bp,
                      float(tol), float(smooth_amount), int(cutoff)))
-                OFF = np.zeros((Bp, 2), np.int32)
-                CNT = np.zeros((Bp,), np.int32)
-                YQ = np.zeros((Bp, pb), np.int16)
-                YS = np.zeros((Bp,), np.float32)
-                SUB = np.full((Bp, kb, 2), -10 * (cutoff + 1), np.int16)
-                KM = np.zeros((Bp, kb), np.float32)
-                WARM = np.zeros((Bp, 6 + kb), np.float32)
-                USE_WARM = np.zeros((Bp,), bool)
-                if use_mask:
-                    MB = np.zeros((Bp, (pb * MASK_BITS_PER_PIXEL) // 8),
-                                  np.uint8)
-                    WDT = np.ones((Bp,), np.int32)
-                else:
-                    PIXa = np.zeros((Bp, pb, 2), np.int16)
-                for j, i in enumerate(chunk):
-                    p = problems[i]
-                    npix, k = p.n_pixels, p.n_deform
-                    if use_mask:
-                        pm = p.packed_mask
-                        MB[j, :len(pm)] = pm
-                        WDT[j] = p.crop_shape[1]
-                    else:
-                        PIXa[j, :npix] = p.pts
-                    OFF[j] = p.offset
-                    CNT[j] = npix
-                    YQ[j, :npix] = p.yq
-                    YS[j] = p.yscale
-                    SUB[j, :k] = p.sub
-                    KM[j, :k] = 1.0
-                    if p.init_params is not None:
-                        WARM[j, :6 + k] = p.init_params
-                        USE_WARM[j] = True
-                # padding rows (CNT=0, result unused) must not defeat the
-                # all-warm elliptical skip inside _solve_dsm_packed
-                USE_WARM[len(chunk):] = USE_WARM[:len(chunk)].all()
-                ALPHA = np.full(Bp, alpha, np.float32)
-                for j, i in enumerate(chunk):
-                    ALPHA[j] *= problems[i].alpha_scale
+                arrays = _dsm_chunk_arrays(chunk, pb, kb, Bp, use_mask,
+                                           warm_tail_all=True)
                 statics = (float(tol), float(smooth_amount), int(cutoff))
+                if placer is not None:
+                    arrays = tuple(map(placer, arrays))
                 if use_mask:
-                    if placer is not None:
-                        MB, WDT, OFF, CNT, YQ, YS, SUB, KM, WARM, USE_WARM, \
-                            ALPHA = map(placer, (MB, WDT, OFF, CNT, YQ, YS,
-                                                 SUB, KM, WARM, USE_WARM,
-                                                 ALPHA))
-                    args = (MB, WDT, OFF, CNT, YQ, YS, denom, SUB, KM, WARM,
-                            USE_WARM, ALPHA, float(epsilon),
-                            int(maxiter)) + statics
+                    MB, WDT, rest = arrays[0], arrays[1], arrays[2:]
+                    args = (MB, WDT) + rest[:4] + (denom,) + rest[4:] \
+                        + (float(epsilon), int(maxiter)) + statics
                     if placer is None:
                         outs = aot.dispatch('dsm-m', pb, kb, Bp, statics,
                                             _solve_dsm_packed_mask, args)
                     else:
                         outs = _solve_dsm_packed_mask(*args)
                 else:
-                    if placer is not None:
-                        PIXa, OFF, CNT, YQ, YS, SUB, KM, WARM, USE_WARM, \
-                            ALPHA = map(placer, (PIXa, OFF, CNT, YQ, YS, SUB,
-                                                 KM, WARM, USE_WARM, ALPHA))
-                    args = (PIXa, OFF, CNT, YQ, YS, denom, SUB, KM, WARM,
-                            USE_WARM, ALPHA, float(epsilon),
-                            int(maxiter)) + statics
+                    PIXa, rest = arrays[0], arrays[1:]
+                    args = (PIXa,) + rest[:4] + (denom,) + rest[4:] \
+                        + (float(epsilon), int(maxiter)) + statics
                     if placer is None:
                         outs = aot.dispatch('dsm', pb, kb, Bp, statics,
                                             _solve_dsm_packed, args)
@@ -1074,8 +1113,8 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
     #               dsm (params, f, f_ell, conv, bad, fg, it_lane).
     # ``conv``/``f_ell``/``it`` are device-side intermediates, fetched only
     # for telemetry.
-    _idx = {'poly': dict(f=1, bad=3, fg=4, it=5),
-            'dsm': dict(f=1, bad=4, fg=5, it=6)}
+    _idx = {'poly': dict(f=1, conv=2, bad=3, fg=4, it=5),
+            'dsm': dict(f=1, conv=3, bad=4, fg=5, it=6)}
 
     def _ix(kind):  # pending kinds carry the transfer format ('dsm-m' etc.)
         return _idx['poly' if kind.startswith('poly') else 'dsm']
@@ -1088,11 +1127,12 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
         sel = [(outs[0], outs[ix['f']], outs[ix['bad']], outs[ix['fg']])
                for kind, _, outs in pending
                for ix in (_ix(kind),)]
-    # iteration counters ride the same fetch (a second device_get would
-    # cost another tunnel round trip and distort the timing it reports);
-    # they are (B,) int32 leaves — bytes, not milliseconds — and feed the
-    # always-on device accounting
-    sel = (sel, [outs[_ix(kind)['it']] for kind, _, outs in pending])
+    # iteration + convergence counters ride the same fetch (a second
+    # device_get would cost another tunnel round trip and distort the
+    # timing it reports); they are (B,) leaves — bytes, not milliseconds —
+    # and feed the always-on device accounting and the canonical re-solve
+    sel = (sel, [(outs[_ix(kind)['it']], outs[_ix(kind)['conv']])
+                 for kind, _, outs in pending])
     try:
         fetched = _fetch_with_deadline(sel, timeout)
     except SolveTimeout:
@@ -1123,7 +1163,8 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
             init=init, maxiter=maxiter, tol=tol, out=out,
             progress_line=progress_line, fetch=fetch, timeout=timeout)
     _WARM_SHAPES.update(dispatched_shapes)
-    fetched, _its = fetched
+    fetched, _its_conv = fetched
+    _its = [it for it, _conv in _its_conv]
     _t_done = _time.time()
     _flop_l = _flop_h = 0.0
     _iters_total = 0
@@ -1180,6 +1221,126 @@ def solve_problems(problems, alpha=0.5, epsilon=1.0, smooth_amount=10,
                     energy=float(f[j]),
                     status='fallback' if bad[j] else 'optimal',
                     surface=None, fg=unpack_fg(fg[j], npix), tag=p.tag)
+
+    # --- canonical re-solve of non-converged DSM lanes (see the
+    # _CANONICAL_RESOLVE note at the top of the module). Truncated lanes'
+    # energies are trajectory snapshots that depend on the program shape;
+    # re-solving them at the FROZEN canonical shape makes them a pure
+    # function of the problem, so production ladder/chunking changes stop
+    # shifting discrete decisions. Composition/order independence is
+    # measured (probe), so flagged lanes may share canonical chunks freely.
+    flagged = []
+    if _CANONICAL_RESOLVE:
+        for (kind, chunk, _), (_it, conv) in zip(pending, _its_conv):
+            if not kind.startswith('dsm'):
+                continue  # truncated poly lanes measured bitwise B-invariant
+            conv = np.asarray(conv)
+            flagged += [i for j, i in enumerate(chunk)
+                        if not conv[j] and i not in oversized]
+    global _LAST_FLAGGED
+    _LAST_FLAGGED = [problems[i].tag for i in flagged]  # test/debug aid
+    if flagged:
+        flagged.sort()
+        t_canon = _time.time()
+        canon_pending = []
+        canon_shapes = []
+        statics = (float(tol), float(smooth_amount), int(cutoff))
+        groups = {}
+        for i in flagged:
+            p = problems[i]
+            pc = _bucket(p.n_pixels, list(_CANONICAL_P_LADDER))
+            kc = _bucket(max(p.n_deform, 1), list(_CANONICAL_K_LADDER))
+            use_mask = mask_capable and p.fits_mask(pc)
+            groups.setdefault((pc, kc, use_mask), []).append(i)
+        for (pc, kc, use_mask), idxs in sorted(groups.items()):
+            for cs in range(0, len(idxs), _CANONICAL_B):
+                chunk = idxs[cs:cs + _CANONICAL_B]
+                arrays = _dsm_chunk_arrays(chunk, pc, kc, _CANONICAL_B,
+                                           use_mask, warm_tail_all=False)
+                kind = 'dsm-m' if use_mask else 'dsm'
+                if use_mask:
+                    args = arrays[:6] + (denom,) + arrays[6:] \
+                        + (float(epsilon), int(maxiter)) + statics
+                    fn = _solve_dsm_packed_mask
+                else:
+                    args = arrays[:5] + (denom,) + arrays[5:] \
+                        + (float(epsilon), int(maxiter)) + statics
+                    fn = _solve_dsm_packed
+                outs = aot.dispatch(kind, pc, kc, _CANONICAL_B, statics,
+                                    fn, args)
+                canon_pending.append((kind, chunk, outs))
+                canon_shapes.append((kind, pc, kc, _CANONICAL_B) + statics)
+        _record_shapes(canon_shapes)
+        ix = _idx['dsm']
+        if fetch == 'energy':
+            sel2 = [(outs[ix['f']], outs[ix['bad']], outs[ix['it']])
+                    for _, _, outs in canon_pending]
+        else:
+            sel2 = [(outs[0], outs[ix['f']], outs[ix['bad']],
+                     outs[ix['fg']], outs[ix['it']])
+                    for _, _, outs in canon_pending]
+        timeout2 = None if any(s not in _WARM_SHAPES for s in canon_shapes) \
+            else timeout
+        try:
+            fetched2 = _fetch_with_deadline(sel2, timeout2)
+        except SolveTimeout:
+            fetched2 = None
+            if out is not None:
+                out.write(f'{progress_line}: canonical re-solve deadline '
+                          f'expired — {len(flagged)} lane(s) keep their '
+                          f'batch-shape energies this round')
+        except Exception:
+            # same class as the production AOT-failure path: drop the
+            # registry entries; the batch-shape results remain usable
+            aot.drop(canon_shapes)
+            fetched2 = None
+            if out is not None:
+                out.write(f'{progress_line}: canonical re-solve failed — '
+                          f'{len(flagged)} lane(s) keep their batch-shape '
+                          f'energies this round')
+        if fetched2 is not None:
+            _WARM_SHAPES.update(canon_shapes)
+            _canon_flop_l = _canon_flop_h = 0.0
+            _canon_iters = 0
+            for (kind, chunk, _), outs2, shape in zip(canon_pending,
+                                                      fetched2, canon_shapes):
+                if fetch == 'energy':
+                    f, bad, it = outs2
+                    for j, i in enumerate(chunk):
+                        results[i] = ProblemResult(
+                            params=None, energy=float(f[j]),
+                            status='fallback' if bad[j] else 'optimal',
+                            surface=None, fg=None, tag=problems[i].tag)
+                else:
+                    params, f, bad, fg, it = outs2
+                    for j, i in enumerate(chunk):
+                        p = problems[i]
+                        npix, k = p.n_pixels, p.n_deform
+                        results[i] = ProblemResult(
+                            params=np.concatenate([params[j, :6],
+                                                   params[j, 6:6 + k]]),
+                            energy=float(f[j]),
+                            status='fallback' if bad[j] else 'optimal',
+                            surface=None, fg=unpack_fg(fg[j], npix),
+                            tag=p.tag)
+                lane_iters = np.asarray(it)[:len(chunk)]
+                fl, fh = _estimate_chunk_flops(kind, shape[1], shape[2],
+                                               lane_iters)
+                _canon_flop_l += fl
+                _canon_flop_h += fh
+                _canon_iters += int(np.sum(lane_iters))
+            with _DEVICE_ACCT_LOCK:
+                _DEVICE_ACCT['wall_s'] += _time.time() - t_canon
+                _DEVICE_ACCT['flop_logical'] += _canon_flop_l
+                _DEVICE_ACCT['flop_hw'] += _canon_flop_h
+                _DEVICE_ACCT['lane_iters'] += _canon_iters
+                _DEVICE_ACCT['canonical_lanes'] += len(flagged)
+            if _TELEMETRY:
+                print(f'[canonical] n={len(flagged)} '
+                      f'calls={len(canon_pending)} '
+                      f'groups={sorted((pc, kc, len(v)) for (pc, kc, _um), v in groups.items())} '
+                      f'wall={_time.time() - t_canon:.3f}s',
+                      file=_sys.stderr, flush=True)
 
     if oversized:
         from .solver import evaluate_foreground
