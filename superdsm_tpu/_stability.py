@@ -61,8 +61,12 @@ tools/ab_bbbc033.py, bench seed 0 + BBBC033, 2026-08-20):
   ``_CANONICAL_RESOLVE`` — measured basis: a lane's trajectory is bitwise
   independent of the other lanes and of lane order, and depends only on
   the program shape; ``tools/probe_packing_invariance.py``). Flagged-lane
-  energies are therefore a pure function of the problem; converged lanes
-  drift <= ~1e-4 under repacks, well inside the dq() grid. Ladder and
+  energies are therefore a pure function of the problem; the remaining
+  (converged-class) drift measured max 4.2e-3 relative across the full
+  pipeline (was 0.27 from the chaotic class), with every decision layer
+  (atoms, cover, postprocess, object count) identical on bench seeds 0-3
+  AND BBBC033 (the round-4 16<->17 flip is gone: 16/16 matched at
+  (3 px, 10%), Dice 0.9997). Ladder and
   chunking changes are now ordinary perf knobs, re-validated by
   ``tests/test_canonical_resolve.py`` and the decision A/Bs
   (``tools/ab_decision_drift.py``). Residual caveat: a flagged lane whose
