@@ -516,6 +516,7 @@ def _cluster_worker(cluster, masked_cluster, max_atom_norm_energy, min_atom_radi
             continue
         if c1.normalized_energy is None:
             c0.seed = c2.seed
+            c0._seed_key = c2._seed_key
             split_queue.put(c0)
             atoms_map = atoms_map_previous
             continue
